@@ -1,0 +1,145 @@
+"""Batched affine-gap alignment scores on device (JAX/XLA).
+
+One query vs a padded batch of targets, all four modes (SW/NW/HW/OV —
+reference main.cpp:51-56).  TPU-first design decisions:
+
+* the substitution scores for the whole (m x B x N) problem are produced by
+  ONE MXU matmul (query one-hot profile  @ 32-letter matrix @ target
+  one-hot), stored bf16-free as int32->f32; the DP scan then streams rows;
+* the in-row serial dependency of the affine E term is eliminated with the
+  decayed-prefix-max identity
+  ``E[i,j] = max_{k<j}(H[i,k] + k*ge) - go - (j-1)*ge``
+  (valid because ge <= go), computed with ``jax.lax.cummax`` — no
+  per-element loop, no data-dependent control flow;
+* query length is padded to a bucket; the true end row is captured inside
+  the scan with a ``where`` on the row counter, so one compiled program
+  serves a whole (m_bucket, N_bucket) shape class.
+
+The row scan is the semantic twin of the NumPy oracle in dp_numpy.py; a
+property test asserts exact score equality.
+
+The Pallas wavefront kernel (pallas_sw.py) replaces this scan on the hot
+path; this module remains the portable fallback and the multi-chip
+building block (vmap/shard_map over the target axis).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -(1 << 28)
+PAD_CODE = 31
+
+
+def _extend_matrix(matrix: np.ndarray) -> np.ndarray:
+    """26x26 -> 32x32 with NEG rows/cols for padding codes."""
+    m32 = np.full((32, 32), NEG, dtype=np.int32)
+    m32[:26, :26] = matrix
+    return m32
+
+
+@partial(jax.jit, static_argnames=("mode", "gap_open", "gap_extend"))
+def align_scores_kernel(
+    query_codes: jnp.ndarray,   # (m_pad,) int32, PAD_CODE beyond m
+    query_len: jnp.ndarray,     # () int32
+    targets: jnp.ndarray,       # (B, N) int32, PAD_CODE beyond lengths
+    target_lens: jnp.ndarray,   # (B,) int32
+    matrix32: jnp.ndarray,      # (32, 32) int32 (NEG-padded)
+    *,
+    mode: str = "SW",
+    gap_open: int = 10,
+    gap_extend: int = 1,
+) -> jnp.ndarray:
+    """Alignment scores (B,) int32 of one query vs B targets."""
+    m_pad = query_codes.shape[0]
+    B, N = targets.shape
+    go, ge = gap_open, gap_extend
+
+    # Substitution scores via one MXU contraction:
+    #   S[i, b, j] = matrix32[q[i], t[b, j]]
+    q1h = jax.nn.one_hot(query_codes, 32, dtype=jnp.float32)        # (m, 32)
+    t1h = jax.nn.one_hot(targets.reshape(-1), 32, dtype=jnp.float32)  # (B*N, 32)
+    prof = q1h @ matrix32.astype(jnp.float32)                        # (m, 32)
+    S_all = (prof @ t1h.T).astype(jnp.int32).reshape(m_pad, B, N)
+
+    js = jnp.arange(1, N + 1, dtype=jnp.int32)
+    j_ge = jnp.arange(0, N + 1, dtype=jnp.int32) * ge
+    col_pad_mask = js[None, :] <= target_lens[:, None]               # (B, N)
+
+    free_top = mode in ("SW", "HW", "OV")
+    free_left = mode in ("SW", "OV")
+    local = mode == "SW"
+
+    # row 0 boundary
+    if free_top:
+        H0 = jnp.zeros((B, N + 1), dtype=jnp.int32)
+    else:  # NW
+        H0 = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32),
+             jnp.broadcast_to(-(go + (js - 1) * ge)[None, :], (B, N))], axis=1)
+    F0 = jnp.full((B, N + 1), NEG, dtype=jnp.int32)
+
+    def row_step(carry, xs):
+        Hprev, Fprev, best_sw, last_col_best, final_row = carry
+        s_row, i1 = xs  # s_row: (B, N) scores of row i1 (1-based)
+
+        if free_left:
+            h_left0 = jnp.zeros((B, 1), dtype=jnp.int32)
+        else:
+            h_left0 = jnp.full((B, 1), -(go + (i1 - 1) * ge), dtype=jnp.int32)
+
+        F = jnp.maximum(Hprev[:, 1:] - go, Fprev[:, 1:] - ge)        # (B, N)
+        diag = Hprev[:, :-1] + s_row
+        G = jnp.maximum(diag, F)
+        if local:
+            G = jnp.maximum(G, 0)
+        X = jnp.concatenate([h_left0, G], axis=1)                    # (B, N+1)
+        P = jax.lax.cummax(X + j_ge[None, :], axis=1)
+        E = P[:, :-1] - go - (js - 1)[None, :] * ge
+        Hrow = jnp.maximum(G, E)
+        H = jnp.concatenate([h_left0, Hrow], axis=1)
+        Ffull = jnp.concatenate([jnp.full((B, 1), NEG, jnp.int32), F], axis=1)
+
+        in_range = i1 <= query_len
+        if local:
+            row_best = jnp.max(jnp.where(col_pad_mask, Hrow, NEG), axis=1)
+            best_sw = jnp.where(in_range, jnp.maximum(best_sw, row_best), best_sw)
+        if mode == "OV":
+            at_n = jnp.take_along_axis(H, target_lens[:, None].astype(jnp.int32), axis=1)[:, 0]
+            last_col_best = jnp.where(in_range, jnp.maximum(last_col_best, at_n), last_col_best)
+        final_row = jnp.where(i1 == query_len, H, final_row)
+        return (H, Ffull, best_sw, last_col_best, final_row), None
+
+    # OV: the boundary cell H[0, n_b] = 0 competes for the last-column best.
+    last_col_init = (
+        jnp.zeros((B,), dtype=jnp.int32) if mode == "OV"
+        else jnp.full((B,), NEG, dtype=jnp.int32)
+    )
+    init = (
+        H0,
+        F0,
+        jnp.zeros((B,), dtype=jnp.int32),
+        last_col_init,
+        H0,
+    )
+    i1s = jnp.arange(1, m_pad + 1, dtype=jnp.int32)
+    (_, _, best_sw, last_col_best, final_row), _ = jax.lax.scan(
+        row_step, init, (S_all, i1s)
+    )
+
+    if mode == "SW":
+        return best_sw
+    at_n = jnp.take_along_axis(final_row, target_lens[:, None].astype(jnp.int32), axis=1)[:, 0]
+    if mode == "NW":
+        return at_n
+    row_masked = jnp.where(col_pad_mask, final_row[:, 1:], NEG)
+    last_row_best = jnp.max(row_masked, axis=1)
+    # j = 0 cell of the final row also competes when targets may be skipped
+    last_row_best = jnp.maximum(last_row_best, final_row[:, 0])
+    if mode == "HW":
+        return last_row_best
+    return jnp.maximum(last_row_best, last_col_best)  # OV

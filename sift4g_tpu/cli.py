@@ -1,0 +1,117 @@
+"""Command-line interface.
+
+Mirrors the reference's 19-flag getopt surface (main.cpp:21-42, defaults at
+:68-91, validation at :163-186), plus TPU-native extras (--backend,
+--devices).  The reference's --cards / --threads flags are accepted for
+drop-in compatibility; device placement is managed by JAX.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from .pipeline import PipelineConfig, run_pipeline
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sift4g-tpu",
+        description="SIFT4G on TPU: predicts whether amino-acid substitutions "
+        "are TOLERATED or DELETERIOUS.",
+    )
+    p.add_argument("-q", "--query", required=True, help="input fasta query file")
+    p.add_argument("-d", "--database", required=True, help="input fasta database file")
+    p.add_argument("-g", "--gap-open", type=int, default=10,
+                   help="gap opening penalty (default: 10)")
+    p.add_argument("-e", "--gap-extend", type=int, default=1,
+                   help="gap extension penalty (default: 1; must be <= gap-open)")
+    p.add_argument("--matrix", default="BLOSUM_62",
+                   help="similarity matrix: BLOSUM_45/50/62/80/90 (default: BLOSUM_62)")
+    p.add_argument("--evalue", type=float, default=0.0001,
+                   help="evalue threshold; higher-evalue alignments are filtered")
+    p.add_argument("--max-aligns", type=int, default=400,
+                   help="maximum number of alignments (default: 400)")
+    p.add_argument("--algorithm", default="SW", choices=["SW", "NW", "HW", "OV"],
+                   help="alignment algorithm (default: SW)")
+    p.add_argument("--out", default="", help="output directory for SIFT predictions")
+    p.add_argument("--sub-results", action="store_true",
+                   help="write alignment file and per-query selected alignments")
+    p.add_argument("--outfmt", default="bm9", choices=["bm0", "bm8", "bm9", "light"],
+                   help="alignment file format (default: bm9)")
+    p.add_argument("--kmer-length", type=int, default=5,
+                   help="k-mer length for database search: 3, 4 or 5 (default: 5)")
+    p.add_argument("--max-candidates", type=int, default=5000,
+                   help="sequences forwarded to the alignment phase (default: 5000)")
+    p.add_argument("--median-threshold", type=float, default=2.75,
+                   help="alignment diversity threshold (default: 2.75)")
+    p.add_argument("--subst", default="",
+                   help="directory containing per-query .subst files")
+    p.add_argument("--seq-id", type=int, default=100,
+                   help="drop alignments this %% identical to the query (default: 100)")
+    # compatibility no-ops (device placement is JAX's job)
+    p.add_argument("-t", "--threads", type=int, default=8,
+                   help="accepted for compatibility; host parallelism is automatic")
+    p.add_argument("--cards", default="",
+                   help="accepted for compatibility; use JAX device flags instead")
+    # TPU-native extras
+    p.add_argument("--backend", default="xla", choices=["xla", "numpy", "pallas"],
+                   help="alignment scoring backend (default: xla)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    def fail(msg: str) -> int:
+        print(f"error: {msg}", file=sys.stderr)
+        return -1
+
+    if not os.path.isfile(args.query):
+        return fail(f"invalid query file path '{args.query}'")
+    if not os.path.isfile(args.database):
+        return fail(f"invalid database file path '{args.database}'")
+    if not (2 < args.kmer_length < 6):
+        return fail("kmer_length possible values = 3,4,5")
+    if args.max_candidates <= 0:
+        return fail("invalid max candidates number")
+    if args.evalue <= 0:
+        return fail("invalid evalue")
+    if args.out and not os.path.isdir(args.out):
+        return fail(f"invalid out directory path '{args.out}'")
+    if args.subst and not os.path.isdir(args.subst):
+        return fail(f"invalid substitutions directory path '{args.subst}'")
+    # validate matrix + gap penalties up front, before any heavy phase runs
+    from .core.scorers import create_scorer
+
+    try:
+        create_scorer(args.matrix, args.gap_open, args.gap_extend)
+    except ValueError as exc:
+        return fail(str(exc))
+
+    cfg = PipelineConfig(
+        query_path=args.query,
+        database_path=args.database,
+        kmer_length=args.kmer_length,
+        max_candidates=args.max_candidates,
+        gap_open=args.gap_open,
+        gap_extend=args.gap_extend,
+        matrix=args.matrix,
+        max_alignments=args.max_aligns,
+        max_evalue=args.evalue,
+        algorithm=args.algorithm,
+        median_threshold=args.median_threshold,
+        subst_path=args.subst,
+        out_path=args.out,
+        sub_results=args.sub_results,
+        out_format=args.outfmt,
+        sequence_identity=args.seq_id,
+        align_backend=args.backend,
+    )
+    run_pipeline(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,113 @@
+"""FASTA input: full-file reads and byte-budget chunked streaming.
+
+Mirrors the swsharp capabilities the reference relies on
+(``readFastaChains`` at reference main.cpp:192; ``readFastaChainsPartInit``
++ ``readFastaChainsPart`` streaming at database_search.cpp:81-97 and
+database_alignment.cpp:36-48): the streaming reader appends chains to a
+growing list so global database indices stay stable across chunks, and
+returns EOF status once the file is exhausted.
+
+The chunk budget counts residue bytes (sequence characters kept), which is
+the dominant term of the reference's on-disk chunk accounting (~250MB
+search chunks, database_search.cpp:17; ~1GB alignment chunks,
+database_alignment.cpp:12).
+
+Parsing rules:
+* header name = first whitespace-delimited token after '>'
+  (subst files are keyed by it, sift_prediction.cpp:99);
+* sequence letters are upcased; non-alphabetic characters are dropped.
+
+A native C++ parser (sift4g_tpu/native) accelerates bulk parsing when the
+shared library is built; this module falls back to pure Python otherwise.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core.chain import Chain
+
+_UPPER_KEEP = np.full(256, 255, dtype=np.uint8)
+for _c in range(ord("A"), ord("Z") + 1):
+    _UPPER_KEEP[_c] = _c - ord("A")
+    _UPPER_KEEP[_c + 32] = _c - ord("A")  # lowercase
+
+
+def _codes_from_bytes(seq: bytes) -> np.ndarray:
+    arr = _UPPER_KEEP[np.frombuffer(seq, dtype=np.uint8)]
+    return arr[arr != 255]
+
+
+class FastaStream:
+    """Incremental FASTA reader with a residue-byte budget per part.
+
+    ``read_part(chains, max_bytes)`` appends newly parsed chains to
+    ``chains`` and returns False once EOF has been reached (mirroring
+    swsharp ``readFastaChainsPart`` returning 0 at EOF).
+    """
+
+    def __init__(self, path: str, buffer_size: int = 1 << 22):
+        self._fh = open(path, "rb")
+        self._buffered = io.BufferedReader(self._fh, buffer_size)
+        self._pending_name: Optional[str] = None
+        self._pending_parts: List[bytes] = []
+        self._eof = False
+
+    def close(self) -> None:
+        self._buffered.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _emit(self, chains: List[Chain]) -> int:
+        name = self._pending_name
+        codes = _codes_from_bytes(b"".join(self._pending_parts))
+        self._pending_parts = []
+        self._pending_name = None
+        chains.append(Chain(name=name, codes=codes))
+        return int(codes.shape[0])
+
+    def read_part(self, chains: List[Chain], max_bytes: int) -> bool:
+        """Parse until ~max_bytes residues were appended. Returns False at EOF."""
+        if self._eof:
+            return False
+        budget = max_bytes
+        for raw in self._buffered:
+            line = raw.strip()
+            if not line:
+                continue
+            if line.startswith(b">"):
+                if self._pending_name is not None:
+                    budget -= self._emit(chains)
+                header = line[1:].decode("utf-8", errors="replace").strip()
+                self._pending_name = header.split()[0] if header else ""
+                if budget <= 0:
+                    return True
+            else:
+                if self._pending_name is not None:
+                    self._pending_parts.append(line)
+        # EOF
+        if self._pending_name is not None:
+            self._emit(chains)
+        self._eof = True
+        return False
+
+
+def read_fasta(path: str) -> List[Chain]:
+    """Read the whole file (mirror of ``readFastaChains``, main.cpp:192)."""
+    chains: List[Chain] = []
+    with FastaStream(path) as fs:
+        while fs.read_part(chains, 1 << 62):
+            pass
+    return chains
+
+
+def read_fasta_total_residues(path: str) -> Tuple[List[Chain], int]:
+    chains = read_fasta(path)
+    return chains, sum(len(c) for c in chains)

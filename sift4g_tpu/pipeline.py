@@ -1,0 +1,213 @@
+"""End-to-end SIFT4G pipeline orchestration.
+
+Mirrors the reference main() phase order (main.cpp:188-250):
+check queries -> prefilter search -> alignment with E-value filter ->
+(optional sub-results) -> entropy selection -> SIFT predictions.
+
+The alignment phase mirrors sift4g's alignDatabase
+(database_alignment.cpp:21-127): the database is re-streamed in chunks,
+each query aligns against the candidates present in the chunk (consuming
+its ascending index list), alignments are E-value-filtered, capped at
+``max_alignments`` best-first, and merged across chunks.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from .align.batch import BatchAligner
+from .align.dp_numpy import align_pair
+from .align.records import AlignmentRecord
+from .core.chain import Chain
+from .core.evalue import EValueParams, create_evalue_params, evalues
+from .core.scorers import Scorer, create_scorer
+from .io.fasta import FastaStream, read_fasta
+from .io.subst import check_data
+from .io.writers import (
+    create_file_name,
+    write_alignments_report,
+    write_selected_alignments,
+)
+from .prefilter.search import search_database
+from .sift.predict import predict_query
+from .sift.select import alignments_select, extract_alignment_strings
+from .constants import MAX_SEQUENCES
+
+ALIGN_CHUNK_BYTES = 1_000_000_000  # database_alignment.cpp:12
+
+
+@dataclass
+class PipelineConfig:
+    query_path: str = ""
+    database_path: str = ""
+    kmer_length: int = 5
+    max_candidates: int = 5000
+    gap_open: int = 10
+    gap_extend: int = 1
+    matrix: str = "BLOSUM_62"
+    max_alignments: int = 400
+    max_evalue: float = 0.0001
+    algorithm: str = "SW"
+    median_threshold: float = 2.75
+    subst_path: str = ""
+    out_path: str = ""
+    sub_results: bool = False
+    out_format: str = "bm9"
+    sequence_identity: int = 100
+    align_backend: str = "xla"
+    search_chunk_bytes: int = 250_000_000
+    align_chunk_bytes: int = ALIGN_CHUNK_BYTES
+    log: object = field(default_factory=lambda: sys.stderr)
+
+
+def align_database(
+    database_path: str,
+    queries: List[Chain],
+    indices: List[np.ndarray],
+    scorer: Scorer,
+    evalue_params: EValueParams,
+    max_evalue: float,
+    max_alignments: int,
+    mode: str = "SW",
+    backend: str = "xla",
+    chunk_bytes: int = ALIGN_CHUNK_BYTES,
+    log=sys.stderr,
+) -> List[List[AlignmentRecord]]:
+    """Returns per-query alignment records, best-first (score desc,
+    database index asc on ties — deterministic refinement of the
+    reference's unstable ordering, quirk Q4)."""
+    print("** Aligning queries with candidate sequences **", file=log)
+    aligner = BatchAligner(scorer, mode=mode, backend=backend)
+
+    results: List[List[AlignmentRecord]] = [[] for _ in queries]
+    remaining = [list(ix) for ix in indices]
+
+    chains: List[Chain] = []
+    consumed_floor = 0
+    with FastaStream(database_path) as fs:
+        more = True
+        while True:
+            more = fs.read_part(chains, chunk_bytes)
+            db_len = len(chains)
+            db_end = db_len - 1
+            for qi, query in enumerate(queries):
+                cand = remaining[qi]
+                take = 0
+                while take < len(cand) and cand[take] <= db_end:
+                    take += 1
+                if take == 0:
+                    continue
+                used = cand[:take]
+                remaining[qi] = cand[take:]
+                targets = [chains[t].codes for t in used]
+                scores = aligner.scores(query.codes, targets)
+                evals = evalues(scores, len(query), evalue_params)
+                keep = np.flatnonzero(evals <= max_evalue)
+                # best-first: score desc, db index asc
+                keep = sorted(keep.tolist(), key=lambda i: (-int(scores[i]), used[i]))
+                keep = keep[:max_alignments]
+                for i in keep:
+                    rec = align_pair(query.codes, chains[used[i]].codes, scorer, mode)
+                    rec.target_idx = used[i]
+                    rec.target_name = chains[used[i]].name
+                    rec.evalue = float(evals[i])
+                    results[qi].append(rec)
+                if len(results[qi]) > max_alignments:
+                    results[qi].sort(key=lambda r: (-r.score, r.target_idx))
+                    del results[qi][max_alignments:]
+            # free residues of the chunk below any outstanding candidate use
+            for t in range(consumed_floor, db_len):
+                chains[t].codes = np.zeros(0, dtype=np.uint8)
+            consumed_floor = db_len
+            if not more:
+                break
+    # final best-first order across chunks
+    for qi in range(len(queries)):
+        results[qi].sort(key=lambda r: (-r.score, r.target_idx))
+        del results[qi][max_alignments:]
+    return results
+
+
+def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
+    """Run the full pipeline; returns the list of processed queries."""
+    log = cfg.log
+    queries = read_fasta(cfg.query_path)
+    print("** Checking query data and substitutions files **", file=log)
+    queries = check_data(queries, cfg.subst_path, log=log)
+    if not queries:
+        print("** EXITING! No valid queries to process. **", file=log)
+        return []
+
+    indices, cells = search_database(
+        cfg.database_path,
+        queries,
+        kmer_length=cfg.kmer_length,
+        max_candidates=cfg.max_candidates,
+        chunk_bytes=cfg.search_chunk_bytes,
+        log=log,
+    )
+
+    scorer = create_scorer(cfg.matrix, cfg.gap_open, cfg.gap_extend)
+    evalue_params = create_evalue_params(cells, scorer)
+
+    records = align_database(
+        cfg.database_path,
+        queries,
+        indices,
+        scorer,
+        evalue_params,
+        cfg.max_evalue,
+        cfg.max_alignments,
+        mode=cfg.algorithm,
+        backend=cfg.align_backend,
+        chunk_bytes=cfg.align_chunk_bytes,
+        log=log,
+    )
+
+    if cfg.sub_results:
+        path = create_file_name("alignments", cfg.out_path, ".txt")
+        write_alignments_report(records, queries, path, cfg.out_format)
+
+    print(
+        f"** Selecting alignments with median threshold: {cfg.median_threshold:.2f} **",
+        file=log,
+    )
+    all_names: List[List[str]] = []
+    all_rows: List[np.ndarray] = []
+    for qi, query in enumerate(queries):
+        names, rows = extract_alignment_strings(query, records[qi])
+        if rows.shape[0]:
+            n_sel = alignments_select(rows, cfg.median_threshold)
+            names, rows = names[:n_sel], rows[:n_sel]
+        all_names.append(names)
+        all_rows.append(rows)
+
+    if cfg.sub_results:
+        strings = [
+            [Chain.from_string(nm, (row + ord("A")).tobytes().decode("ascii"))
+             for nm, row in zip(all_names[qi], all_rows[qi])]
+            for qi in range(len(queries))
+        ]
+        write_selected_alignments(strings, queries, cfg.out_path)
+
+    print(
+        f"** Generating SIFT predictions with sequence identity: "
+        f"{float(cfg.sequence_identity):.2f}% **",
+        file=log,
+    )
+    for qi, query in enumerate(queries):
+        if all_rows[qi].shape[0] == 0:
+            continue  # sift_prediction.cpp:154
+        predict_query(
+            query,
+            all_names[qi],
+            all_rows[qi],
+            cfg.subst_path,
+            cfg.sequence_identity,
+            cfg.out_path,
+        )
+    return queries

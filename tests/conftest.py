@@ -1,0 +1,12 @@
+"""Tests run hermetically on CPU with a virtual 8-device mesh available."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REFERENCE_TEST_FILES = "/root/reference/test_files"
