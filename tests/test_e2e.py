@@ -1,0 +1,81 @@
+"""Golden end-to-end regression on the bundled reference test data.
+
+The reference binary cannot be built in this snapshot (the swsharp
+submodule is empty), so the goldens were produced by this framework's
+float64 NumPy semantic path after line-by-line verification against the
+reference sources, and are locked here as regression oracles.  Both
+backends must reproduce them byte-for-byte.
+"""
+
+import filecmp
+import os
+
+import pytest
+
+from sift4g_tpu.pipeline import PipelineConfig, run_pipeline
+
+TEST_FILES = "/root/reference/test_files"
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(TEST_FILES), reason="reference test files not mounted"
+)
+
+
+def run(tmp_path, backend, subst, sub_results=False):
+    cfg = PipelineConfig(
+        query_path=os.path.join(TEST_FILES, "query.fasta"),
+        database_path=os.path.join(TEST_FILES, "sample_protein_database.fa"),
+        subst_path=TEST_FILES if subst else "",
+        out_path=str(tmp_path),
+        align_backend=backend,
+        sub_results=sub_results,
+        log=open(os.devnull, "w"),
+    )
+    run_pipeline(cfg)
+
+
+@pytest.mark.parametrize("backend", ["numpy", "xla"])
+def test_subst_predictions_golden(tmp_path, backend):
+    run(tmp_path, backend, subst=True)
+    for name in ("LACI_ECOLI", "PURR_SALTY"):
+        got = tmp_path / f"{name}.SIFTprediction"
+        want = os.path.join(GOLDEN, f"{name}.SIFTprediction")
+        assert filecmp.cmp(got, want, shallow=False), f"{name} differs"
+
+
+@pytest.mark.parametrize("backend", ["numpy", "xla"])
+def test_matrix_predictions_golden(tmp_path, backend):
+    run(tmp_path, backend, subst=False, sub_results=True)
+    for name in ("LACI_ECOLI", "PURR_SALTY"):
+        got = tmp_path / f"{name}.SIFTprediction"
+        want = os.path.join(GOLDEN, f"{name}.matrix.SIFTprediction")
+        assert filecmp.cmp(got, want, shallow=False), f"{name} differs"
+    assert filecmp.cmp(
+        tmp_path / "LACI_ECOLI.aligned.fasta",
+        os.path.join(GOLDEN, "LACI_ECOLI.aligned.fasta"),
+        shallow=False,
+    )
+    assert filecmp.cmp(
+        tmp_path / "alignments.txt", os.path.join(GOLDEN, "alignments.txt"),
+        shallow=False,
+    )
+
+
+def test_chunked_alignment_matches(tmp_path):
+    """Tiny streaming chunks must not change any output (cross-chunk merge)."""
+    cfg = PipelineConfig(
+        query_path=os.path.join(TEST_FILES, "query.fasta"),
+        database_path=os.path.join(TEST_FILES, "sample_protein_database.fa"),
+        subst_path=TEST_FILES,
+        out_path=str(tmp_path),
+        align_backend="numpy",
+        search_chunk_bytes=500,
+        align_chunk_bytes=700,
+        log=open(os.devnull, "w"),
+    )
+    run_pipeline(cfg)
+    for name in ("LACI_ECOLI", "PURR_SALTY"):
+        got = tmp_path / f"{name}.SIFTprediction"
+        want = os.path.join(GOLDEN, f"{name}.SIFTprediction")
+        assert filecmp.cmp(got, want, shallow=False), f"{name} differs"
