@@ -42,8 +42,7 @@ def _extend_matrix(matrix: np.ndarray) -> np.ndarray:
     return m32
 
 
-@partial(jax.jit, static_argnames=("mode", "gap_open", "gap_extend"))
-def align_scores_kernel(
+def align_scores(
     query_codes: jnp.ndarray,   # (m_pad,) int32, PAD_CODE beyond m
     query_len: jnp.ndarray,     # () int32
     targets: jnp.ndarray,       # (B, N) int32, PAD_CODE beyond lengths
@@ -54,7 +53,11 @@ def align_scores_kernel(
     gap_open: int = 10,
     gap_extend: int = 1,
 ) -> jnp.ndarray:
-    """Alignment scores (B,) int32 of one query vs B targets."""
+    """Alignment scores (B,) int32 of one query vs B targets.
+
+    Unjitted core — usable inside ``jax.shard_map`` (parallel/sharded.py)
+    and under ``jax.jit`` via :data:`align_scores_kernel`.
+    """
     m_pad = query_codes.shape[0]
     B, N = targets.shape
     go, ge = gap_open, gap_extend
@@ -143,3 +146,8 @@ def align_scores_kernel(
     if mode == "HW":
         return last_row_best
     return jnp.maximum(last_row_best, last_col_best)  # OV
+
+
+align_scores_kernel = partial(
+    jax.jit, static_argnames=("mode", "gap_open", "gap_extend")
+)(align_scores)

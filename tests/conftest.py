@@ -1,8 +1,13 @@
-"""Tests run hermetically on CPU with a virtual 8-device mesh available."""
+"""Tests run hermetically on CPU with a virtual 8-device mesh available.
+
+The container's sitecustomize imports jax and registers the TPU backend at
+interpreter startup, so env vars alone cannot retarget the platform —
+``jax.config.update`` can, as long as no backend has been instantiated yet
+(conftest runs before any test module imports trigger device use).
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,5 +16,9 @@ if "host_platform_device_count" not in flags:
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 REFERENCE_TEST_FILES = "/root/reference/test_files"
