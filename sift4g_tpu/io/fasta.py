@@ -41,7 +41,7 @@ def _codes_from_bytes(seq: bytes) -> np.ndarray:
     return arr[arr != 255]
 
 
-class FastaStream:
+class PyFastaStream:
     """Incremental FASTA reader with a residue-byte budget per part.
 
     ``read_part(chains, max_bytes)`` appends newly parsed chains to
@@ -97,6 +97,87 @@ class FastaStream:
             self._emit(chains)
         self._eof = True
         return False
+
+
+class NativeFastaStream:
+    """Native (C++) streaming parser — same part semantics as PyFastaStream.
+
+    Additionally exposes :meth:`read_part_arrays`, the zero-object fast
+    path used by the native prefilter: packed codes + offsets + names for
+    one part, with no per-sequence Python work.
+    """
+
+    def __init__(self, path: str, lib=None):
+        from .. import native as _native
+
+        self._lib = lib or _native.load()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._h = self._lib.sift4g_fasta_open(path.encode())
+        if not self._h:
+            raise FileNotFoundError(path)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.sift4g_fasta_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def read_part_arrays(self, max_residues: int):
+        """-> (more, codes (R,) u8, offsets (n+1,) i64, names list[str])"""
+        import ctypes
+
+        lib = self._lib
+        more = lib.sift4g_fasta_read_part(self._h, max_residues)
+        nseq = lib.sift4g_fasta_part_nseq(self._h)
+        residues = lib.sift4g_fasta_part_residues(self._h)
+        nbytes = lib.sift4g_fasta_part_names_bytes(self._h)
+        codes = np.empty(residues, dtype=np.uint8)
+        offsets = np.empty(nseq + 1, dtype=np.int64)
+        names_buf = ctypes.create_string_buffer(max(int(nbytes), 1))
+        name_offsets = np.empty(nseq + 1, dtype=np.int64)
+        lib.sift4g_fasta_part_fill(
+            self._h,
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            names_buf,
+            name_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        raw = names_buf.raw[:nbytes]
+        names = [
+            raw[name_offsets[i] : name_offsets[i + 1]].decode("utf-8", "replace")
+            for i in range(nseq)
+        ]
+        return bool(more), codes, offsets, names
+
+    def read_part(self, chains: List[Chain], max_bytes: int) -> bool:
+        more, codes, offsets, names = self.read_part_arrays(max_bytes)
+        for i, name in enumerate(names):
+            # copy, so freeing one chain never pins the whole part buffer
+            chains.append(
+                Chain(name=name, codes=codes[offsets[i] : offsets[i + 1]].copy())
+            )
+        return more
+
+
+def FastaStream(path: str, buffer_size: int = 1 << 22):
+    """Open a streaming FASTA reader — native when available."""
+    from .. import native as _native
+
+    lib = _native.load()
+    if lib is not None:
+        try:
+            return NativeFastaStream(path, lib=lib)
+        except FileNotFoundError:
+            raise
+        except RuntimeError:
+            pass
+    return PyFastaStream(path, buffer_size)
 
 
 def read_fasta(path: str) -> List[Chain]:

@@ -1,0 +1,103 @@
+"""ctypes bindings for the native runtime (libsift4g_native.so).
+
+The native layer provides the host-side components the reference
+implements in C/C++ (swsharp FASTA streaming; sift4g's pthread prefilter
+hot loop, database_search.cpp:185-253): a streaming FASTA parser and the
+k-mer/LIS/top-k search engine.  Pure-Python fallbacks exist for both
+(io/fasta.py, prefilter/search.py); callers use :func:`load` and fall back
+when it returns None.
+
+The shared library is built on first use if a compiler is available
+(``make -C sift4g_tpu/native``); ``python -m sift4g_tpu.native`` builds it
+explicitly.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libsift4g_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+c_i64 = ctypes.c_int64
+c_i32 = ctypes.c_int32
+c_u8_p = ctypes.POINTER(ctypes.c_uint8)
+c_i64_p = ctypes.POINTER(ctypes.c_int64)
+c_i32_p = ctypes.POINTER(ctypes.c_int32)
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    lib.sift4g_search_create.restype = ctypes.c_void_p
+    lib.sift4g_search_create.argtypes = [
+        c_i32, c_i32, c_i32, c_i64_p, c_i64, c_i32_p, c_i32_p, c_i64, c_i32,
+    ]
+    lib.sift4g_search_chunk.restype = ctypes.c_uint64
+    lib.sift4g_search_chunk.argtypes = [
+        ctypes.c_void_p, c_u8_p, c_i64_p, c_i64, c_i64,
+    ]
+    lib.sift4g_search_counts.restype = None
+    lib.sift4g_search_counts.argtypes = [ctypes.c_void_p, c_i64_p]
+    lib.sift4g_search_collect.restype = None
+    lib.sift4g_search_collect.argtypes = [ctypes.c_void_p, c_i64_p]
+    lib.sift4g_search_destroy.restype = None
+    lib.sift4g_search_destroy.argtypes = [ctypes.c_void_p]
+
+    lib.sift4g_fasta_open.restype = ctypes.c_void_p
+    lib.sift4g_fasta_open.argtypes = [ctypes.c_char_p]
+    lib.sift4g_fasta_read_part.restype = ctypes.c_int
+    lib.sift4g_fasta_read_part.argtypes = [ctypes.c_void_p, c_i64]
+    for fn in ("part_nseq", "part_residues", "part_names_bytes"):
+        f = getattr(lib, f"sift4g_fasta_{fn}")
+        f.restype = c_i64
+        f.argtypes = [ctypes.c_void_p]
+    lib.sift4g_fasta_part_fill.restype = None
+    lib.sift4g_fasta_part_fill.argtypes = [
+        ctypes.c_void_p, c_u8_p, c_i64_p, ctypes.c_char_p, c_i64_p,
+    ]
+    lib.sift4g_fasta_close.restype = None
+    lib.sift4g_fasta_close.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def build() -> bool:
+    """Compile the shared library; returns True on success."""
+    try:
+        subprocess.run(
+            ["make", "-C", _DIR, "-s"],
+            check=True,
+            capture_output=True,
+            timeout=300,
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """The bound native library, building it on first use; None if unavailable.
+
+    Set SIFT4G_TPU_NO_NATIVE=1 to force the pure-Python fallbacks.
+    """
+    global _lib, _tried
+    if os.environ.get("SIFT4G_TPU_NO_NATIVE"):
+        return None
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH):
+            if not build():
+                return None
+        try:
+            _lib = _bind(ctypes.CDLL(_LIB_PATH))
+        except OSError:
+            _lib = None
+        return _lib

@@ -1,0 +1,220 @@
+// Native prefilter hot loop: k-mer hashing + LIS chaining + top-k admission.
+//
+// C-ABI engine behind sift4g_tpu/prefilter/search.py (ctypes).  Semantics
+// mirror the reference's threadSearchDatabase
+// (reference sift4g/src/database_search.cpp:185-253) and are kept
+// bit-compatible with the NumPy fallback in search.py:
+//   * 5-bit rolling k-mer packing (hash.cpp:21-44), adjacent-duplicate
+//     skip only (quirk Q5, database_search.cpp:212-214);
+//   * CSR inverted index over query k-mers is built in Python
+//     (prefilter/kmer.py) and passed in as flat arrays;
+//   * per (db seq, query): score = LIS(hit positions) / float(db_len)
+//     in float32 (database_search.cpp:228-229);
+//   * admission with a monotone floor (quirk Q3), end-of-chunk sort by
+//     (score desc, db index asc) + truncate (the deterministic refinement
+//     of the reference's unstable sort, quirk Q4) and floor carry-over
+//     across chunks (database_search.cpp:151-153).
+//
+// Threading splits each chunk into contiguous sequence ranges like the
+// reference's pthread-pool fan-out (database_search.cpp:101-123); each
+// thread admits into local lists against a chunk-start floor snapshot, and
+// the merge + truncate at chunk end makes the result independent of the
+// thread count (argument in prefilter/search.py docstring).
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Candidate {
+  float score;
+  int64_t id;
+};
+
+inline bool cand_less(const Candidate& a, const Candidate& b) {
+  if (a.score != b.score) return a.score > b.score;  // score desc
+  return a.id < b.id;                                // id asc
+}
+
+struct SearchCtx {
+  int n_queries;
+  int max_candidates;
+  int k;
+  // CSR hash over query k-mers (owned copies)
+  std::vector<int64_t> starts;
+  std::vector<int32_t> hit_query;
+  std::vector<int32_t> hit_pos;
+  // accumulated per-query candidates (sorted desc, <= max_candidates)
+  std::vector<std::vector<Candidate>> cands;
+  std::vector<float> floors;
+  int n_threads;
+};
+
+// Patience LIS length, strictly increasing (database_search.cpp:255-280).
+int lis_length(const std::vector<int32_t>& xs, std::vector<int32_t>& tails) {
+  tails.clear();
+  for (int32_t x : xs) {
+    auto it = std::lower_bound(tails.begin(), tails.end(), x);
+    if (it == tails.end())
+      tails.push_back(x);
+    else
+      *it = x;
+  }
+  return static_cast<int>(tails.size());
+}
+
+struct ThreadState {
+  std::vector<std::vector<Candidate>> cands;   // per query, admitted this chunk
+  std::vector<float> floors;                   // local floor copies
+  std::vector<std::vector<int32_t>> qpos;      // per query scratch hit lists
+  std::vector<int32_t> touched;                // queries hit by current seq
+  std::vector<int32_t> tails;                  // LIS scratch
+  std::vector<uint32_t> kmers;                 // k-mer scratch
+  uint64_t cells = 0;
+};
+
+void scan_range(const SearchCtx* ctx, const uint8_t* codes,
+                const int64_t* offsets, int64_t lo, int64_t hi,
+                int64_t start_index, ThreadState* st) {
+  const int k = ctx->k;
+  const int64_t* starts = ctx->starts.data();
+  const int32_t* hit_query = ctx->hit_query.data();
+  const int32_t* hit_pos = ctx->hit_pos.data();
+  const int maxc = ctx->max_candidates;
+
+  for (int64_t si = lo; si < hi; ++si) {
+    const uint8_t* seq = codes + offsets[si];
+    const int64_t n = offsets[si + 1] - offsets[si];
+    st->cells += static_cast<uint64_t>(n);
+    if (n < k) continue;
+
+    // rolling 5-bit pack + adjacent-dup skip
+    st->kmers.clear();
+    uint32_t km = 0;
+    for (int j = 0; j < k; ++j) km = (km << 5) | seq[j];
+    st->kmers.push_back(km);
+    const uint32_t mask = (k == 5) ? 0x1FFFFFFu : (k == 4 ? 0xFFFFFu : 0x7FFFu);
+    for (int64_t j = k; j < n; ++j) {
+      km = ((km << 5) | seq[j]) & mask;
+      if (km != st->kmers.back()) st->kmers.push_back(km);
+      else continue;
+    }
+    // NOTE: adjacent-dup semantics — a k-mer is skipped only when equal to
+    // the previous *emitted* k-mer, which for a rolling window is the same
+    // as the previous raw k-mer (dup run collapses to one).
+
+    // gather hits per query in db k-mer scan order
+    st->touched.clear();
+    for (uint32_t kv : st->kmers) {
+      int64_t s = starts[kv], e = starts[kv + 1];
+      for (int64_t h = s; h < e; ++h) {
+        int32_t q = hit_query[h];
+        if (st->qpos[q].empty()) st->touched.push_back(q);
+        st->qpos[q].push_back(hit_pos[h]);
+      }
+    }
+
+    const float len_f = static_cast<float>(n);
+    const int64_t db_index = start_index + si;
+    for (int32_t q : st->touched) {
+      const float score = static_cast<float>(lis_length(st->qpos[q], st->tails)) / len_f;
+      st->qpos[q].clear();
+      auto& lst = st->cands[q];
+      float& floor = st->floors[q];
+      if (static_cast<int>(lst.size()) < maxc || score > floor) {
+        lst.push_back({score, db_index});
+        if (score < floor) floor = score;
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* sift4g_search_create(int n_queries, int max_candidates, int kmer_len,
+                           const int64_t* starts, int64_t n_starts,
+                           const int32_t* hit_query, const int32_t* hit_pos,
+                           int64_t n_hits, int n_threads) {
+  auto* ctx = new SearchCtx();
+  ctx->n_queries = n_queries;
+  ctx->max_candidates = max_candidates;
+  ctx->k = kmer_len;
+  ctx->starts.assign(starts, starts + n_starts);
+  ctx->hit_query.assign(hit_query, hit_query + n_hits);
+  ctx->hit_pos.assign(hit_pos, hit_pos + n_hits);
+  ctx->cands.resize(n_queries);
+  ctx->floors.assign(n_queries, 1e6f);  // database_search.cpp:86
+  unsigned hw = std::thread::hardware_concurrency();
+  ctx->n_threads = n_threads > 0 ? n_threads : (hw ? static_cast<int>(hw) : 4);
+  return ctx;
+}
+
+// Process one streamed chunk; returns its residue cell count.
+uint64_t sift4g_search_chunk(void* handle, const uint8_t* codes,
+                             const int64_t* offsets, int64_t n_seq,
+                             int64_t start_index) {
+  auto* ctx = static_cast<SearchCtx*>(handle);
+  int nt = std::min<int64_t>(ctx->n_threads, std::max<int64_t>(1, n_seq));
+  std::vector<ThreadState> states(nt);
+  for (auto& st : states) {
+    st.cands.resize(ctx->n_queries);
+    st.floors = ctx->floors;
+    st.qpos.resize(ctx->n_queries);
+  }
+  std::vector<std::thread> threads;
+  const int64_t per = (n_seq + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = t * per, hi = std::min<int64_t>(n_seq, lo + per);
+    if (lo >= hi) break;
+    threads.emplace_back(scan_range, ctx, codes, offsets, lo, hi, start_index,
+                         &states[t]);
+  }
+  for (auto& th : threads) th.join();
+
+  uint64_t cells = 0;
+  for (auto& st : states) cells += st.cells;
+  // merge + sort desc + truncate + floor update (database_search.cpp:131-154)
+  for (int q = 0; q < ctx->n_queries; ++q) {
+    auto& dst = ctx->cands[q];
+    for (auto& st : states)
+      dst.insert(dst.end(), st.cands[q].begin(), st.cands[q].end());
+    if (dst.empty()) continue;
+    std::sort(dst.begin(), dst.end(), cand_less);
+    if (static_cast<int>(dst.size()) > ctx->max_candidates)
+      dst.resize(ctx->max_candidates);
+    ctx->floors[q] = dst.back().score;
+  }
+  return cells;
+}
+
+void sift4g_search_counts(void* handle, int64_t* out_counts) {
+  auto* ctx = static_cast<SearchCtx*>(handle);
+  for (int q = 0; q < ctx->n_queries; ++q)
+    out_counts[q] = static_cast<int64_t>(ctx->cands[q].size());
+}
+
+// Flat per-query candidate db indices, ascending within each query
+// (database_search.cpp:173-180).
+void sift4g_search_collect(void* handle, int64_t* out_ids) {
+  auto* ctx = static_cast<SearchCtx*>(handle);
+  int64_t w = 0;
+  for (int q = 0; q < ctx->n_queries; ++q) {
+    std::vector<int64_t> ids;
+    ids.reserve(ctx->cands[q].size());
+    for (auto& c : ctx->cands[q]) ids.push_back(c.id);
+    std::sort(ids.begin(), ids.end());
+    for (int64_t id : ids) out_ids[w++] = id;
+  }
+}
+
+void sift4g_search_destroy(void* handle) {
+  delete static_cast<SearchCtx*>(handle);
+}
+
+}  // extern "C"

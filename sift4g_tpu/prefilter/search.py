@@ -109,6 +109,68 @@ def _score_chunk_numpy(
     return cells
 
 
+def _search_database_native(
+    lib,
+    database_path: str,
+    queries: List[Chain],
+    kmer_length: int,
+    max_candidates: int,
+    chunk_bytes: int,
+    log,
+) -> Tuple[List[np.ndarray], int]:
+    """All-native chunk loop: C++ FASTA streaming feeding the C++ k-mer/LIS
+    engine, no per-sequence Python objects (native/search.cpp)."""
+    import ctypes
+
+    from ..io.fasta import NativeFastaStream
+
+    qhash = QueryKmerHash([q.codes for q in queries], kmer_length)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    ctx = lib.sift4g_search_create(
+        len(queries),
+        max_candidates,
+        kmer_length,
+        qhash.starts.ctypes.data_as(i64p),
+        qhash.starts.shape[0],
+        np.ascontiguousarray(qhash.hit_query).ctypes.data_as(i32p),
+        np.ascontiguousarray(qhash.hit_pos).ctypes.data_as(i32p),
+        qhash.hit_query.shape[0],
+        0,
+    )
+    total_cells = 0
+    consumed = 0
+    try:
+        with NativeFastaStream(database_path, lib=lib) as fs:
+            more = True
+            part = 1
+            while more:
+                more, codes, offsets, _names = fs.read_part_arrays(chunk_bytes)
+                n_seq = offsets.shape[0] - 1
+                if n_seq:
+                    total_cells += lib.sift4g_search_chunk(
+                        ctx,
+                        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        offsets.ctypes.data_as(i64p),
+                        n_seq,
+                        consumed,
+                    )
+                    consumed += n_seq
+                print(f"* database part {part} done *", file=log)
+                part += 1
+        counts = np.empty(len(queries), dtype=np.int64)
+        lib.sift4g_search_counts(ctx, counts.ctypes.data_as(i64p))
+        flat = np.empty(max(int(counts.sum()), 1), dtype=np.int64)
+        lib.sift4g_search_collect(ctx, flat.ctypes.data_as(i64p))
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        indices = [
+            flat[bounds[i] : bounds[i + 1]].copy() for i in range(len(queries))
+        ]
+    finally:
+        lib.sift4g_search_destroy(ctx)
+    return indices, int(total_cells)
+
+
 def search_database(
     database_path: str,
     queries: List[Chain],
@@ -119,6 +181,14 @@ def search_database(
 ) -> Tuple[List[np.ndarray], int]:
     """Returns (per-query ascending candidate db indices, total db residues)."""
     print("** Searching database for candidate sequences **", file=log)
+
+    from .. import native
+
+    lib = native.load()
+    if lib is not None:
+        return _search_database_native(
+            lib, database_path, queries, kmer_length, max_candidates, chunk_bytes, log
+        )
 
     qhash = QueryKmerHash([q.codes for q in queries], kmer_length)
     topks = [_TopK(max_candidates) for _ in queries]

@@ -1,0 +1,106 @@
+"""Native C++ engines == pure-Python fallbacks (FASTA parsing, prefilter)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sift4g_tpu import native
+from sift4g_tpu.core.chain import Chain
+
+lib = native.load()
+pytestmark = pytest.mark.skipif(lib is None, reason="native library not built")
+
+TRICKY_FASTA = (
+    ">seq1 description with tokens\n"
+    "ACDEFGhiklm\n"
+    "NPQRS\r\n"
+    "\n"
+    ">seq2\n"
+    "tvwy*xz-AC\n"
+    ">empty_seq\n"
+    ">seq4\nMKV"  # no trailing newline
+)
+
+
+def _write(tmp_path, text):
+    p = tmp_path / "db.fa"
+    p.write_text(text)
+    return str(p)
+
+
+def test_fasta_native_matches_python(tmp_path):
+    from sift4g_tpu.io.fasta import NativeFastaStream, PyFastaStream
+
+    path = _write(tmp_path, TRICKY_FASTA)
+    py_chains, na_chains = [], []
+    with PyFastaStream(path) as fs:
+        while fs.read_part(py_chains, 1 << 40):
+            pass
+    with NativeFastaStream(path, lib=lib) as fs:
+        while fs.read_part(na_chains, 1 << 40):
+            pass
+    assert [c.name for c in na_chains] == [c.name for c in py_chains]
+    for a, b in zip(na_chains, py_chains):
+        np.testing.assert_array_equal(a.codes, b.codes)
+
+
+def test_fasta_native_part_boundaries(tmp_path):
+    """Small residue budgets must split parts exactly like the Python reader."""
+    from sift4g_tpu.io.fasta import NativeFastaStream, PyFastaStream
+
+    rng = np.random.default_rng(5)
+    recs = []
+    for i in range(23):
+        seq = "".join(chr(ord("A") + c) for c in rng.integers(0, 26, rng.integers(3, 90)))
+        recs.append(f">s{i} x\n{seq}\n")
+    path = _write(tmp_path, "".join(recs))
+
+    for budget in (1, 50, 200, 10_000):
+        py_parts, na_parts = [], []
+        with PyFastaStream(path) as fs:
+            more = True
+            while more:
+                chains = []
+                more = fs.read_part(chains, budget)
+                py_parts.append([c.name for c in chains])
+        with NativeFastaStream(path, lib=lib) as fs:
+            more = True
+            while more:
+                chains = []
+                more = fs.read_part(chains, budget)
+                na_parts.append([c.name for c in chains])
+        assert na_parts == py_parts, f"budget={budget}"
+
+
+def test_native_search_matches_numpy(tmp_path):
+    from sift4g_tpu.prefilter import search as S
+
+    rng = np.random.default_rng(17)
+    n_db, n_q = 300, 5
+    recs = []
+    for i in range(n_db):
+        seq = "".join(chr(ord("A") + c) for c in rng.integers(0, 20, rng.integers(20, 400)))
+        recs.append(f">t{i}\n{seq}\n")
+    path = _write(tmp_path, "".join(recs))
+    queries = []
+    for i in range(n_q):
+        codes = rng.integers(0, 20, rng.integers(50, 200)).astype(np.uint8)
+        queries.append(Chain(name=f"q{i}", codes=codes))
+
+    devnull = open(os.devnull, "w")
+    for kmer in (3, 4, 5):
+        for max_cand, chunk in ((25, 1 << 40), (25, 4000), (5000, 4000)):
+            got_idx, got_cells = S._search_database_native(
+                lib, path, queries, kmer, max_cand, chunk, devnull
+            )
+            os.environ["SIFT4G_TPU_NO_NATIVE"] = "1"
+            try:
+                want_idx, want_cells = S.search_database(
+                    path, queries, kmer, max_cand, chunk, log=devnull
+                )
+            finally:
+                del os.environ["SIFT4G_TPU_NO_NATIVE"]
+            assert got_cells == want_cells
+            for a, b in zip(got_idx, want_idx):
+                np.testing.assert_array_equal(a, b), (kmer, max_cand, chunk)
