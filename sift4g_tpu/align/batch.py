@@ -18,9 +18,87 @@ from .dp_numpy import score_pair
 
 PAD_CODE = 31
 
+_MODE_IDS = {"SW": 0, "NW": 1, "HW": 2, "OV": 3}
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def align_pairs_batch(
+    query_codes: np.ndarray,
+    targets: Sequence[np.ndarray],
+    scorer: Scorer,
+    mode: str = "SW",
+):
+    """Score + traceback for one query vs many targets.
+
+    Uses the threaded native aligner (native/aligner.cpp) when available,
+    else the NumPy oracle per pair.  Returns a list of AlignmentRecord.
+    """
+    from ..native import load as _load_native
+    from .dp_numpy import align_pair
+    from .records import AlignmentRecord
+
+    if not targets:
+        return []
+    lib = _load_native()
+    if lib is None:
+        return [align_pair(query_codes, t, scorer, mode) for t in targets]
+
+    import ctypes
+
+    n = len(targets)
+    q = np.ascontiguousarray(query_codes, dtype=np.uint8)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    for i, t in enumerate(targets):
+        offsets[i + 1] = offsets[i] + t.shape[0]
+    concat = np.empty(int(offsets[-1]), dtype=np.uint8)
+    for i, t in enumerate(targets):
+        concat[offsets[i] : offsets[i + 1]] = t
+    matrix26 = np.ascontiguousarray(scorer.matrix, dtype=np.int32)
+
+    score = np.empty(n, dtype=np.int32)
+    qs = np.empty(n, dtype=np.int32)
+    qe = np.empty(n, dtype=np.int32)
+    ts = np.empty(n, dtype=np.int32)
+    te = np.empty(n, dtype=np.int32)
+    cap = int(offsets[-1]) + n * (q.shape[0] + 1)
+    moves_buf = np.empty(cap, dtype=np.uint8)
+    moves_off = np.empty(n + 1, dtype=np.int64)
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.sift4g_align_batch(
+        q.ctypes.data_as(u8p), q.shape[0],
+        concat.ctypes.data_as(u8p), offsets.ctypes.data_as(i64p), n,
+        matrix26.ctypes.data_as(i32p),
+        scorer.gap_open, scorer.gap_extend, _MODE_IDS[mode], 0,
+        score.ctypes.data_as(i32p), qs.ctypes.data_as(i32p),
+        qe.ctypes.data_as(i32p), ts.ctypes.data_as(i32p),
+        te.ctypes.data_as(i32p),
+        moves_buf.ctypes.data_as(u8p), cap,
+        moves_off.ctypes.data_as(i64p),
+    )
+    if rc != 0:  # moves overflow cannot happen with cap = sum(n_i) + n*(m+1)
+        return [align_pair(query_codes, t, scorer, mode) for t in targets]
+
+    out = []
+    for i, t in enumerate(targets):
+        out.append(
+            AlignmentRecord(
+                score=int(score[i]),
+                query_start=int(qs[i]),
+                query_end=int(qe[i]),
+                target_start=int(ts[i]),
+                target_end=int(te[i]),
+                moves=moves_buf[moves_off[i] : moves_off[i + 1]].copy(),
+                query_codes=query_codes,
+                target_codes=t,
+            )
+        )
+    return out
 
 
 class BatchAligner:
@@ -66,6 +144,19 @@ class BatchAligner:
 
         from .xla import align_scores_kernel
 
+        if self.backend == "pallas":
+            from .pallas_sw import sw_scores_pallas
+
+            # planes are (32, B, N) int8 in VMEM: keep them <= 8 MB and
+            # fall back to the XLA scan for very long target buckets
+            def pick_kernel(n_pad):
+                if self.batch * n_pad * 32 <= 8 * 1024 * 1024:
+                    return sw_scores_pallas
+                return align_scores_kernel
+        else:
+            def pick_kernel(n_pad):
+                return align_scores_kernel
+
         m = query_codes.shape[0]
         m_pad = _round_up(max(m, 1), self.q_bucket)
         q = np.full(m_pad, PAD_CODE, dtype=np.int32)
@@ -88,7 +179,7 @@ class BatchAligner:
             for r, t in enumerate(chunk):
                 tc[r, : t.shape[0]] = t
                 tl[r] = t.shape[0]
-            scores = align_scores_kernel(
+            scores = pick_kernel(n_pad)(
                 q_dev,
                 jnp.int32(m),
                 jnp.asarray(tc),

@@ -1,0 +1,201 @@
+"""Pallas TPU kernel: batched affine-gap alignment scores (SW/NW/HW/OV).
+
+The hot op of the pipeline — the reference runs this DP in swsharp's CUDA
+kernels (database_alignment.cpp:83-86); here it is a single-invocation
+Mosaic kernel designed for zero per-cell HBM traffic:
+
+* **Substitution planes, built in-kernel**: the (query_code, target_code)
+  score lookup is hoisted out of the DP.  A prologue materializes
+  ``planes[c][b, j] = matrix[c, t[b, j]]`` (26 int8 planes of (B, N) in
+  VMEM scratch) with a 5-bit binary select tree over the target codes —
+  XLA's gather lowering on TPU runs on the scalar core (measured ~2.3 ms
+  for a (256, 512) 32-entry LUT — slower than the entire DP), so no
+  gather appears anywhere.  Each DP row then *selects* plane
+  ``q_codes[i]`` (a dynamic leading-axis index): the inner loop does no
+  gathers and no matmuls.
+* **Row-parallel scan**: the in-row serial E dependency is removed with
+  the decayed-prefix-max identity (same as align/xla.py — see the proof
+  there); the prefix max runs as log2(N) unrolled roll+max rounds on the
+  lane axis.
+* DP state (H, F, running best) lives in VMEM scratch across the
+  ``fori_loop`` over query rows; only the (B,) results leave the chip.
+
+Scores are exact int32 — bit-identical to the NumPy oracle (dp_numpy.py)
+and the XLA scan; a property test asserts equality on random batches for
+all four modes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(1 << 28)
+PAD_CODE = 31
+
+# default tile: planes are (26, B, N) int8 in VMEM -> ~3.4 MB at (256, 512)
+DEFAULT_B = 256
+DEFAULT_N = 512
+
+
+def _sw_kernel(
+    q_ref,        # SMEM (m_pad,) i32 — scalar-prefetched query codes
+    qlen_ref,     # SMEM (1,) i32
+    m32_ref,      # SMEM (1024,) i32 — flat 32x32 matrix, clamped to int8 range
+    targets_ref,  # VMEM (B, N) i32
+    lens_ref,     # VMEM (B, 1) i32
+    out_ref,      # VMEM (B, 1) i32
+    planes_scr,   # VMEM (26, B, N) int8
+    h_scr,        # VMEM (B, N) i32
+    f_scr,        # VMEM (B, N) i32
+    best_scr,     # VMEM (B, N) i32
+    *,
+    mode: str,
+    go: int,
+    ge: int,
+):
+    B, N = h_scr.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)   # j-1 (j = 1..N)
+
+    # ---- prologue: substitution planes via 5-bit select tree (no gather)
+    t = targets_ref[:]
+    bits = [(t >> k) & 1 != 0 for k in range(5)]
+    for c in range(26):
+        base = c * 32
+        w = [
+            jnp.where(bits[0], m32_ref[base + 2 * d + 1], m32_ref[base + 2 * d])
+            for d in range(16)
+        ]
+        for lvl in range(1, 5):
+            w = [jnp.where(bits[lvl], w[2 * i + 1], w[2 * i]) for i in range(len(w) // 2)]
+        planes_scr[c] = w[0].astype(jnp.int8)
+
+    free_top = mode in ("SW", "HW", "OV")
+    free_left = mode in ("SW", "OV")
+    local = mode == "SW"
+
+    if free_top:
+        h_scr[:] = jnp.zeros((B, N), jnp.int32)
+    else:  # NW: H[0, j] = -(go + (j-1) ge)
+        h_scr[:] = -(go + col * ge)
+    f_scr[:] = jnp.full((B, N), NEG, jnp.int32)
+    best_scr[:] = jnp.full((B, N), NEG if not local else 0, jnp.int32)
+
+    n_rounds = max(1, (N - 1).bit_length())
+
+    def row_body(i, _):
+        c = q_ref[i]
+        s = planes_scr[c].astype(jnp.int32)                # (B, N)
+        hp = h_scr[:]
+        fp = f_scr[:]
+
+        if free_left:
+            left0 = jnp.int32(0)          # X_0 = H[i1, 0]
+            left0_prev = jnp.int32(0)     # H[i1-1, 0] (diag source at j=1)
+        else:
+            left0 = -(go + i * ge)                         # i1-1 = i
+            left0_prev = jnp.where(i == 0, 0, -(go + (i - 1) * ge))
+
+        f = jnp.maximum(hp - go, fp - ge)
+        # diag_j = H[i-1, j-1]: shift right one lane, boundary at j=1
+        diag = pltpu.roll(hp, 1, axis=1)
+        diag = jnp.where(col == 0, left0_prev, diag)
+        g = jnp.maximum(diag + s, f)
+        if local:
+            g = jnp.maximum(g, 0)
+
+        # E_j = max(X_0, max_{1<=k<j}(G_k + k ge)) - go - (j-1) ge
+        a = g + (col + 1) * ge
+        cmax = a
+        for r in range(n_rounds):
+            k = 1 << r
+            rolled = pltpu.roll(cmax, k, axis=1)
+            cmax = jnp.maximum(cmax, jnp.where(col < k, NEG, rolled))
+        cm1 = jnp.where(col < 1, NEG, pltpu.roll(cmax, 1, axis=1))
+        e = jnp.maximum(left0, cm1) - go - col * ge
+        h = jnp.maximum(g, e)
+
+        h_scr[:] = h
+        f_scr[:] = f
+        if local:
+            best_scr[:] = jnp.maximum(best_scr[:], h)
+        elif mode == "OV":
+            # last-column best: H[i1, len_b] competes per row
+            best_scr[:] = jnp.maximum(
+                best_scr[:], jnp.where(col == lens_ref[:] - 1, h, NEG)
+            )
+        return 0
+
+    jax.lax.fori_loop(0, qlen_ref[0], row_body, 0, unroll=False)
+
+    lens = lens_ref[:]                                     # (B, 1)
+    col_valid = col < lens
+    hfin = h_scr[:]
+    if mode == "SW":
+        out = jnp.max(jnp.where(col_valid, best_scr[:], 0), axis=1, keepdims=True)
+        # empty target => score 0 handled by the zero floor
+    elif mode == "NW":
+        out = jnp.max(jnp.where(col == lens - 1, hfin, NEG), axis=1, keepdims=True)
+    elif mode == "HW":
+        out = jnp.max(jnp.where(col_valid, hfin, NEG), axis=1, keepdims=True)
+    else:  # OV: best of final row, last column, and the free top boundary
+        #      H[0, n] = 0 (xla.py folds it in via last_col_init).
+        row_best = jnp.max(jnp.where(col_valid, hfin, NEG), axis=1, keepdims=True)
+        col_best = jnp.max(best_scr[:], axis=1, keepdims=True)
+        out = jnp.maximum(jnp.maximum(row_best, col_best), 0)
+    out_ref[:] = out
+
+
+@partial(jax.jit, static_argnames=("mode", "gap_open", "gap_extend"))
+def sw_scores_pallas(
+    query_codes: jnp.ndarray,   # (m_pad,) int32 (PAD_CODE beyond query_len)
+    query_len: jnp.ndarray,     # () int32
+    targets: jnp.ndarray,       # (B, N) int32
+    target_lens: jnp.ndarray,   # (B,) int32
+    matrix32: jnp.ndarray,      # (32, 32) int32
+    *,
+    mode: str = "SW",
+    gap_open: int = 10,
+    gap_extend: int = 1,
+) -> jnp.ndarray:
+    """Alignment scores (B,) int32 of one query vs B padded targets."""
+    B, N = targets.shape
+    m32_flat = jnp.clip(matrix32, -128, 127).astype(jnp.int32).reshape(32 * 32)
+    qlen = jnp.reshape(query_len.astype(jnp.int32), (1,))
+    lens2 = target_lens.astype(jnp.int32).reshape(B, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # targets
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # lens
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((26, B, N), jnp.int8),
+            pltpu.VMEM((B, N), jnp.int32),
+            pltpu.VMEM((B, N), jnp.int32),
+            pltpu.VMEM((B, N), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_sw_kernel, mode=mode, go=gap_open, ge=gap_extend),
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        query_codes.astype(jnp.int32),
+        qlen,
+        m32_flat,
+        targets.astype(jnp.int32),
+        lens2,
+    )
+    return out[:, 0]

@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extras
     p.add_argument("--backend", default="xla", choices=["xla", "numpy", "pallas"],
                    help="alignment scoring backend (default: xla)")
+    p.add_argument("--timings", action="store_true",
+                   help="print per-phase wall-clock and throughput counters")
     return p
 
 
@@ -108,6 +110,7 @@ def main(argv=None) -> int:
         out_format=args.outfmt,
         sequence_identity=args.seq_id,
         align_backend=args.backend,
+        timings=args.timings,
     )
     run_pipeline(cfg)
     return 0

@@ -64,6 +64,14 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     ]
     lib.sift4g_fasta_close.restype = None
     lib.sift4g_fasta_close.argtypes = [ctypes.c_void_p]
+
+    lib.sift4g_align_batch.restype = ctypes.c_int
+    lib.sift4g_align_batch.argtypes = [
+        c_u8_p, c_i32, c_u8_p, c_i64_p, c_i32,   # q, qlen, targets, offsets, n
+        c_i32_p, c_i32, c_i32, c_i32, c_i32,      # matrix26, go, ge, mode, threads
+        c_i32_p, c_i32_p, c_i32_p, c_i32_p, c_i32_p,  # score, qs, qe, ts, te
+        c_u8_p, c_i64, c_i64_p,                   # moves_buf, cap, moves_off
+    ]
     return lib
 
 

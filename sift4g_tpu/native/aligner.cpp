@@ -1,0 +1,215 @@
+// Native batch aligner: affine-gap DP with full traceback (SW/NW/HW/OV).
+//
+// Produces the edit paths for the <= max_alignments E-value survivors per
+// query — the role swsharp's reconstruct/traceback plays after its scoring
+// kernels (the TPU Pallas/XLA kernels here are score-only; paths for the
+// few hundred kept pairs are cheapest on host).  Semantics are a line-for-
+// line mirror of the Python oracle align_pair (sift4g_tpu/align/dp_numpy.py):
+// SW#-style affine gaps (gap of length L costs open + (L-1)*extend), the
+// same mode boundary conditions, and the same deterministic traceback tie
+// order DIAG > LEFT(E) > UP(F).
+//
+// Move encoding matches align/records.py: 0 = DIAG, 1 = LEFT (gap in
+// query, consumes target), 2 = UP (gap in target, consumes query).
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int32_t NEG = INT32_MIN / 4;
+
+enum Mode { SW = 0, NW = 1, HW = 2, OV = 3 };
+
+struct AlignResult {
+  int32_t score;
+  int32_t query_start, query_end;    // end inclusive
+  int32_t target_start, target_end;  // end inclusive
+  std::vector<uint8_t> moves;
+};
+
+void align_one(const uint8_t* q, int m, const uint8_t* t, int n,
+               const int32_t* mat /* 26x26 */, int go, int ge, int mode,
+               AlignResult* out) {
+  const int w = n + 1;
+  std::vector<int32_t> H(static_cast<size_t>(m + 1) * w, NEG);
+  std::vector<int32_t> E(static_cast<size_t>(m + 1) * w, NEG);
+  std::vector<int32_t> F(static_cast<size_t>(m + 1) * w, NEG);
+
+  H[0] = 0;
+  for (int j = 1; j <= n; ++j) {
+    H[j] = (mode == NW) ? -(go + (j - 1) * ge) : 0;
+    if (mode == NW) E[j] = H[j];
+  }
+  for (int i = 1; i <= m; ++i) {
+    int32_t v = (mode == NW || mode == HW) ? -(go + (i - 1) * ge) : 0;
+    H[static_cast<size_t>(i) * w] = v;
+    if (mode == NW || mode == HW) F[static_cast<size_t>(i) * w] = v;
+  }
+
+  const bool local = mode == SW;
+  for (int i = 1; i <= m; ++i) {
+    int32_t* Hi = H.data() + static_cast<size_t>(i) * w;
+    int32_t* Hp = H.data() + static_cast<size_t>(i - 1) * w;
+    int32_t* Ei = E.data() + static_cast<size_t>(i) * w;
+    int32_t* Fi = F.data() + static_cast<size_t>(i) * w;
+    int32_t* Fp = F.data() + static_cast<size_t>(i - 1) * w;
+    const int32_t* srow = mat + static_cast<size_t>(q[i - 1]) * 26;
+    int32_t e = NEG;
+    for (int j = 1; j <= n; ++j) {
+      int32_t f = std::max(Hp[j] - go, Fp[j] - ge);
+      Fi[j] = f;
+      int32_t g = std::max(Hp[j - 1] + srow[t[j - 1]], f);
+      if (local) g = std::max(g, 0);
+      e = std::max(Hi[j - 1] - go, e - ge);
+      Ei[j] = e;
+      Hi[j] = std::max(g, e);
+    }
+  }
+
+  // endpoint
+  int ei, ej;
+  int32_t score;
+  if (mode == NW) {
+    ei = m; ej = n; score = H[static_cast<size_t>(m) * w + n];
+  } else if (mode == SW) {
+    size_t best = 0;
+    for (size_t x = 1; x < H.size(); ++x)
+      if (H[x] > H[best]) best = x;  // first max wins (argmax semantics)
+    ei = static_cast<int>(best / w);
+    ej = static_cast<int>(best % w);
+    score = H[best];
+  } else if (mode == HW) {
+    ei = m; ej = 0;
+    const int32_t* Hm = H.data() + static_cast<size_t>(m) * w;
+    for (int j = 1; j <= n; ++j)
+      if (Hm[j] > Hm[ej]) ej = j;
+    score = Hm[ej];
+  } else {  // OV
+    int bj = 0;
+    const int32_t* Hm = H.data() + static_cast<size_t>(m) * w;
+    for (int j = 1; j <= n; ++j)
+      if (Hm[j] > Hm[bj]) bj = j;
+    int bi = 0;
+    for (int i = 1; i <= m; ++i)
+      if (H[static_cast<size_t>(i) * w + n] > H[static_cast<size_t>(bi) * w + n]) bi = i;
+    if (Hm[bj] >= H[static_cast<size_t>(bi) * w + n]) {
+      ei = m; ej = bj; score = Hm[bj];
+    } else {
+      ei = bi; ej = n; score = H[static_cast<size_t>(bi) * w + n];
+    }
+  }
+
+  // traceback (dp_numpy.py align_pair, tie order DIAG > E > F)
+  std::vector<uint8_t>& moves = out->moves;
+  moves.clear();
+  int i = ei, j = ej;
+  int state = 0;  // 0 = H, 1 = E, 2 = F
+  auto HA = [&](int a, int b) { return H[static_cast<size_t>(a) * w + b]; };
+  auto EA = [&](int a, int b) { return E[static_cast<size_t>(a) * w + b]; };
+  auto FA = [&](int a, int b) { return F[static_cast<size_t>(a) * w + b]; };
+  for (;;) {
+    if (state == 0) {
+      if (i == 0 || j == 0) break;
+      if (local && HA(i, j) == 0) break;
+      int32_t diag = HA(i - 1, j - 1) + mat[q[i - 1] * 26 + t[j - 1]];
+      if (HA(i, j) == diag) {
+        moves.push_back(0);
+        --i; --j;
+      } else if (HA(i, j) == EA(i, j)) {
+        state = 1;
+      } else if (HA(i, j) == FA(i, j)) {
+        state = 2;
+      } else {
+        break;  // boundary-derived (free end gaps)
+      }
+    } else if (state == 1) {
+      moves.push_back(1);
+      --j;
+      state = (j > 0 && EA(i, j + 1) == EA(i, j) - ge) ? 1 : 0;
+    } else {
+      moves.push_back(2);
+      --i;
+      state = (i > 0 && FA(i + 1, j) == FA(i, j) - ge) ? 2 : 0;
+    }
+  }
+  std::reverse(moves.begin(), moves.end());
+  if (mode == NW) {
+    // python order: UP-gaps prepended first, then LEFT-gaps prepended
+    // before them -> final prefix is LEFT^j then UP^i
+    std::vector<uint8_t> prefix;
+    for (int x = 0; x < j; ++x) prefix.push_back(1);
+    for (int x = 0; x < i; ++x) prefix.push_back(2);
+    moves.insert(moves.begin(), prefix.begin(), prefix.end());
+    i = 0;
+    j = 0;
+  } else if (mode == HW) {
+    moves.insert(moves.begin(), static_cast<size_t>(i), 2);
+    i = 0;
+  }
+  out->score = score;
+  out->query_start = i;
+  out->query_end = ei - 1;
+  out->target_start = j;
+  out->target_end = ej - 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Align one query against n_targets targets (concatenated codes + offsets).
+// Outputs: per-target score/starts/ends; edit paths concatenated into
+// moves_buf (caller-sized to sum(m + n_i)) with moves_off (n_targets + 1).
+// Returns 0 on success, -1 if moves_buf would overflow.
+int sift4g_align_batch(const uint8_t* q, int32_t qlen, const uint8_t* targets,
+                       const int64_t* offsets, int32_t n_targets,
+                       const int32_t* matrix26 /* 26x26 row-major */,
+                       int32_t gap_open, int32_t gap_extend, int32_t mode,
+                       int32_t n_threads, int32_t* out_score,
+                       int32_t* out_qstart, int32_t* out_qend,
+                       int32_t* out_tstart, int32_t* out_tend,
+                       uint8_t* moves_buf, int64_t moves_cap,
+                       int64_t* moves_off) {
+  std::vector<AlignResult> results(n_targets);
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = n_threads > 0 ? n_threads : (hw ? static_cast<int>(hw) : 4);
+  nt = std::min<int>(nt, std::max<int32_t>(1, n_targets));
+
+  std::atomic<int32_t> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int32_t idx = next.fetch_add(1);
+      if (idx >= n_targets) return;
+      const uint8_t* t = targets + offsets[idx];
+      int n = static_cast<int>(offsets[idx + 1] - offsets[idx]);
+      align_one(q, qlen, t, n, matrix26, gap_open, gap_extend, mode,
+                &results[idx]);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+
+  int64_t w = 0;
+  for (int32_t i = 0; i < n_targets; ++i) {
+    const AlignResult& r = results[i];
+    out_score[i] = r.score;
+    out_qstart[i] = r.query_start;
+    out_qend[i] = r.query_end;
+    out_tstart[i] = r.target_start;
+    out_tend[i] = r.target_end;
+    moves_off[i] = w;
+    if (w + static_cast<int64_t>(r.moves.size()) > moves_cap) return -1;
+    memcpy(moves_buf + w, r.moves.data(), r.moves.size());
+    w += static_cast<int64_t>(r.moves.size());
+  }
+  moves_off[n_targets] = w;
+  return 0;
+}
+
+}  // extern "C"

@@ -19,8 +19,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from .align.batch import BatchAligner
-from .align.dp_numpy import align_pair
+from .align.batch import BatchAligner, align_pairs_batch
 from .align.records import AlignmentRecord
 from .core.chain import Chain
 from .core.evalue import EValueParams, create_evalue_params, evalues
@@ -36,6 +35,7 @@ from .prefilter.search import search_database
 from .sift.predict import predict_query
 from .sift.select import alignments_select, extract_alignment_strings
 from .constants import MAX_SEQUENCES
+from .utils import PhaseMetrics
 
 ALIGN_CHUNK_BYTES = 1_000_000_000  # database_alignment.cpp:12
 
@@ -62,6 +62,7 @@ class PipelineConfig:
     search_chunk_bytes: int = 250_000_000
     align_chunk_bytes: int = ALIGN_CHUNK_BYTES
     log: object = field(default_factory=lambda: sys.stderr)
+    timings: bool = False
 
 
 def align_database(
@@ -76,6 +77,7 @@ def align_database(
     backend: str = "xla",
     chunk_bytes: int = ALIGN_CHUNK_BYTES,
     log=sys.stderr,
+    metrics: Optional[PhaseMetrics] = None,
 ) -> List[List[AlignmentRecord]]:
     """Returns per-query alignment records, best-first (score desc,
     database index asc on ties — deterministic refinement of the
@@ -105,13 +107,20 @@ def align_database(
                 remaining[qi] = cand[take:]
                 targets = [chains[t].codes for t in used]
                 scores = aligner.scores(query.codes, targets)
+                if metrics is not None:
+                    metrics.add(
+                        "align",
+                        cells=float(len(query)) * float(sum(t.shape[0] for t in targets)),
+                    )
                 evals = evalues(scores, len(query), evalue_params)
                 keep = np.flatnonzero(evals <= max_evalue)
                 # best-first: score desc, db index asc
                 keep = sorted(keep.tolist(), key=lambda i: (-int(scores[i]), used[i]))
                 keep = keep[:max_alignments]
-                for i in keep:
-                    rec = align_pair(query.codes, chains[used[i]].codes, scorer, mode)
+                recs = align_pairs_batch(
+                    query.codes, [chains[used[i]].codes for i in keep], scorer, mode
+                )
+                for i, rec in zip(keep, recs):
                     rec.target_idx = used[i]
                     rec.target_name = chains[used[i]].name
                     rec.evalue = float(evals[i])
@@ -135,6 +144,7 @@ def align_database(
 def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
     """Run the full pipeline; returns the list of processed queries."""
     log = cfg.log
+    metrics = PhaseMetrics(log=log, enabled=cfg.timings)
     queries = read_fasta(cfg.query_path)
     print("** Checking query data and substitutions files **", file=log)
     queries = check_data(queries, cfg.subst_path, log=log)
@@ -142,31 +152,35 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
         print("** EXITING! No valid queries to process. **", file=log)
         return []
 
-    indices, cells = search_database(
-        cfg.database_path,
-        queries,
-        kmer_length=cfg.kmer_length,
-        max_candidates=cfg.max_candidates,
-        chunk_bytes=cfg.search_chunk_bytes,
-        log=log,
-    )
+    with metrics.phase("search"):
+        indices, cells = search_database(
+            cfg.database_path,
+            queries,
+            kmer_length=cfg.kmer_length,
+            max_candidates=cfg.max_candidates,
+            chunk_bytes=cfg.search_chunk_bytes,
+            log=log,
+        )
+    metrics.add("search", db_residues=float(cells), queries=float(len(queries)))
 
     scorer = create_scorer(cfg.matrix, cfg.gap_open, cfg.gap_extend)
     evalue_params = create_evalue_params(cells, scorer)
 
-    records = align_database(
-        cfg.database_path,
-        queries,
-        indices,
-        scorer,
-        evalue_params,
-        cfg.max_evalue,
-        cfg.max_alignments,
-        mode=cfg.algorithm,
-        backend=cfg.align_backend,
-        chunk_bytes=cfg.align_chunk_bytes,
-        log=log,
-    )
+    with metrics.phase("align"):
+        records = align_database(
+            cfg.database_path,
+            queries,
+            indices,
+            scorer,
+            evalue_params,
+            cfg.max_evalue,
+            cfg.max_alignments,
+            mode=cfg.algorithm,
+            backend=cfg.align_backend,
+            chunk_bytes=cfg.align_chunk_bytes,
+            log=log,
+            metrics=metrics,
+        )
 
     if cfg.sub_results:
         path = create_file_name("alignments", cfg.out_path, ".txt")
@@ -178,13 +192,14 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
     )
     all_names: List[List[str]] = []
     all_rows: List[np.ndarray] = []
-    for qi, query in enumerate(queries):
-        names, rows = extract_alignment_strings(query, records[qi])
-        if rows.shape[0]:
-            n_sel = alignments_select(rows, cfg.median_threshold)
-            names, rows = names[:n_sel], rows[:n_sel]
-        all_names.append(names)
-        all_rows.append(rows)
+    with metrics.phase("select"):
+        for qi, query in enumerate(queries):
+            names, rows = extract_alignment_strings(query, records[qi])
+            if rows.shape[0]:
+                n_sel = alignments_select(rows, cfg.median_threshold)
+                names, rows = names[:n_sel], rows[:n_sel]
+            all_names.append(names)
+            all_rows.append(rows)
 
     if cfg.sub_results:
         strings = [
@@ -199,15 +214,17 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
         f"{float(cfg.sequence_identity):.2f}% **",
         file=log,
     )
-    for qi, query in enumerate(queries):
-        if all_rows[qi].shape[0] == 0:
-            continue  # sift_prediction.cpp:154
-        predict_query(
-            query,
-            all_names[qi],
-            all_rows[qi],
-            cfg.subst_path,
-            cfg.sequence_identity,
-            cfg.out_path,
-        )
+    with metrics.phase("predict"):
+        for qi, query in enumerate(queries):
+            if all_rows[qi].shape[0] == 0:
+                continue  # sift_prediction.cpp:154
+            predict_query(
+                query,
+                all_names[qi],
+                all_rows[qi],
+                cfg.subst_path,
+                cfg.sequence_identity,
+                cfg.out_path,
+            )
+    metrics.report()
     return queries

@@ -4,9 +4,8 @@ Vectorized float64 mirror of sift_scores.cpp; each function cites the
 reference routine it reproduces.  Rows are (n_seqs, L) uint8 letter codes
 ('X' = masked, quirk Q6); matrices are (L, 26) float64.
 
-Also contains a jit-able JAX variant of the score pipeline
-(:func:`calc_sift_scores_jax`) used by the batched device path; the NumPy
-version remains the bit-accuracy oracle for file output.
+A jit-able JAX variant of the score pipeline lives in scores_jax.py; this
+NumPy version remains the bit-accuracy oracle for file output.
 """
 
 from __future__ import annotations

@@ -1,0 +1,46 @@
+"""Native batch aligner == NumPy oracle (score, coords, moves), all modes."""
+
+import numpy as np
+import pytest
+
+from sift4g_tpu import native
+from sift4g_tpu.align.batch import align_pairs_batch
+from sift4g_tpu.align.dp_numpy import align_pair
+from sift4g_tpu.core.scorers import create_scorer
+
+lib = native.load()
+pytestmark = pytest.mark.skipif(lib is None, reason="native library not built")
+
+
+@pytest.mark.parametrize("mode", ["SW", "NW", "HW", "OV"])
+@pytest.mark.parametrize("gaps", [(10, 1), (12, 2)])
+def test_native_aligner_matches_oracle(mode, gaps):
+    rng = np.random.default_rng(31)
+    scorer = create_scorer("BLOSUM_62", *gaps)
+    for trial in range(6):
+        m = int(rng.integers(5, 120))
+        q = rng.integers(0, 26, m).astype(np.uint8)
+        targets = [
+            rng.integers(0, 26, int(rng.integers(3, 200))).astype(np.uint8)
+            for _ in range(7)
+        ]
+        # include a homologous target (mutated copy) for realistic paths
+        hom = q.copy()
+        hom[:: 5] = (hom[:: 5] + 1) % 26
+        targets.append(hom)
+
+        got = align_pairs_batch(q, targets, scorer, mode)
+        for t, g in zip(targets, got):
+            w = align_pair(q, t, scorer, mode)
+            assert g.score == w.score, (mode, gaps, trial)
+            assert (g.query_start, g.query_end) == (w.query_start, w.query_end)
+            assert (g.target_start, g.target_end) == (w.target_start, w.target_end)
+            np.testing.assert_array_equal(g.moves, w.moves)
+
+
+def test_native_aligner_empty_and_tiny():
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    q = np.array([0, 1, 2], dtype=np.uint8)
+    got = align_pairs_batch(q, [np.array([0, 1, 2], dtype=np.uint8)], scorer, "SW")
+    assert got[0].score > 0
+    assert align_pairs_batch(q, [], scorer, "SW") == []

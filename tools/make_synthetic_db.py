@@ -1,0 +1,93 @@
+"""Generate a synthetic protein FASTA database + queries for benchmarking.
+
+Sequences are random draws from the background amino-acid frequency
+(constants.AA_FREQUENCY restricted to the 20 standard letters), with a
+fraction of database sequences built as mutated copies of the queries so
+the prefilter and aligner see realistic homology structure.
+
+Usage: python tools/make_synthetic_db.py OUT_DIR [--n-db 20000] [--n-q 10]
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+STD = np.array([ord(c) - ord("A") for c in "ACDEFGHIKLMNPQRSTVWY"])
+
+
+def _freqs():
+    from sift4g_tpu.constants import AA_FREQUENCY
+
+    f = AA_FREQUENCY[STD]
+    return f / f.sum()
+
+
+def random_seq(rng, n, p):
+    return rng.choice(STD, size=n, p=p).astype(np.uint8)
+
+
+def mutate(rng, codes, p, sub_rate=0.35, indel_rate=0.06):
+    out = []
+    for c in codes:
+        r = rng.random()
+        if r < indel_rate / 2:
+            continue  # deletion
+        if r < indel_rate:
+            out.append(rng.choice(STD, p=p))  # insertion
+        out.append(rng.choice(STD, p=p) if rng.random() < sub_rate else c)
+    return np.asarray(out, dtype=np.uint8)
+
+
+def write_fasta(path, names, seqs):
+    with open(path, "w") as fh:
+        for name, codes in zip(names, seqs):
+            s = "".join(chr(c + ord("A")) for c in codes)
+            fh.write(f">{name}\n")
+            for i in range(0, len(s), 60):
+                fh.write(s[i : i + 60] + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--n-db", type=int, default=20000)
+    ap.add_argument("--n-q", type=int, default=10)
+    ap.add_argument("--mean-len", type=int, default=350)
+    ap.add_argument("--homolog-frac", type=float, default=0.02)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(args.seed)
+    p = _freqs()
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    q_seqs = [
+        random_seq(rng, int(np.clip(rng.normal(args.mean_len, 60), 80, 2000)), p)
+        for _ in range(args.n_q)
+    ]
+    q_names = [f"QUERY_{i}" for i in range(args.n_q)]
+    write_fasta(os.path.join(args.out_dir, "queries.fa"), q_names, q_seqs)
+
+    db_names, db_seqs = [], []
+    n_hom = int(args.n_db * args.homolog_frac)
+    for i in range(n_hom):
+        src = q_seqs[rng.integers(len(q_seqs))]
+        db_seqs.append(mutate(rng, src, p))
+        db_names.append(f"HOM_{i}")
+    for i in range(args.n_db - n_hom):
+        n = int(np.clip(rng.normal(args.mean_len, 100), 30, 3000))
+        db_seqs.append(random_seq(rng, n, p))
+        db_names.append(f"DB_{i}")
+    order = rng.permutation(len(db_seqs))
+    write_fasta(
+        os.path.join(args.out_dir, "db.fa"),
+        [db_names[i] for i in order],
+        [db_seqs[i] for i in order],
+    )
+    total = sum(len(s) for s in db_seqs)
+    print(f"wrote {args.n_q} queries, {args.n_db} db seqs, {total} residues")
+
+
+if __name__ == "__main__":
+    main()
