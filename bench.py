@@ -47,12 +47,14 @@ def bench_sw_gcups(batch=512, n=512, m=360, iters=20, backend=None):
     m_pad = -(-m // 64) * 64
     q = np.full(m_pad, PAD_CODE, dtype=np.int32)
     q[:m] = rng.integers(0, 26, size=m)
-    # distinct target batches per call: identical back-to-back dispatches
-    # can get deduplicated and overstate throughput ~10x
-    n_batches = 8
+    # a unique target batch per call: repeated identical dispatches were
+    # measured to overstate throughput ~10x on this platform.  Do NOT run
+    # other large jitted programs in this process first — a co-resident
+    # program with GB-scale HBM intermediates degrades subsequent calls
+    # ~100x (measured; see align/pallas_sw.py docstring).
     targets = [
         jax.numpy.asarray(rng.integers(0, 26, size=(batch, n)).astype(np.int32))
-        for _ in range(n_batches)
+        for _ in range(iters)
     ]
     lens = jax.numpy.asarray(np.full(batch, n, dtype=np.int32))
     q_dev = jax.numpy.asarray(q)
@@ -64,7 +66,7 @@ def bench_sw_gcups(batch=512, n=512, m=360, iters=20, backend=None):
 
     t0 = time.perf_counter()
     outs = [
-        kernel_fn(q_dev, qlen, targets[i % n_batches], lens, m32, mode="SW")
+        kernel_fn(q_dev, qlen, targets[i], lens, m32, mode="SW")
         for i in range(iters)
     ]
     jax.block_until_ready(outs)

@@ -108,11 +108,15 @@ class BatchAligner:
         self,
         scorer: Scorer,
         mode: str = "SW",
-        backend: str = "xla",
+        backend: str = "auto",
         batch: int = 256,
         q_bucket: int = 64,
         t_bucket: int = 128,
     ):
+        if backend == "auto":
+            from . import best_backend
+
+            backend = best_backend()
         self.scorer = scorer
         self.mode = mode
         self.backend = backend

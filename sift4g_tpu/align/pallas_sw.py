@@ -62,10 +62,13 @@ def _sw_kernel(
     B, N = h_scr.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)   # j-1 (j = 1..N)
 
-    # ---- prologue: substitution planes via 5-bit select tree (no gather)
+    # ---- prologue: substitution planes via 5-bit select tree (no gather).
+    # One fori_loop over query codes keeps the Mosaic program small (the
+    # fully unrolled 26x tree multiplied compile time past 9 minutes).
     t = targets_ref[:]
     bits = [(t >> k) & 1 != 0 for k in range(5)]
-    for c in range(26):
+
+    def plane_body(c, _):
         base = c * 32
         w = [
             jnp.where(bits[0], m32_ref[base + 2 * d + 1], m32_ref[base + 2 * d])
@@ -74,6 +77,9 @@ def _sw_kernel(
         for lvl in range(1, 5):
             w = [jnp.where(bits[lvl], w[2 * i + 1], w[2 * i]) for i in range(len(w) // 2)]
         planes_scr[c] = w[0].astype(jnp.int8)
+        return 0
+
+    jax.lax.fori_loop(0, 26, plane_body, 0, unroll=False)
 
     free_top = mode in ("SW", "HW", "OV")
     free_left = mode in ("SW", "OV")

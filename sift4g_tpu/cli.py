@@ -56,8 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cards", default="",
                    help="accepted for compatibility; use JAX device flags instead")
     # TPU-native extras
-    p.add_argument("--backend", default="xla", choices=["xla", "numpy", "pallas"],
-                   help="alignment scoring backend (default: xla)")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "numpy", "pallas"],
+                   help="alignment scoring backend (default: auto — the "
+                   "Pallas kernel on TPU, the XLA scan elsewhere)")
     p.add_argument("--timings", action="store_true",
                    help="print per-phase wall-clock and throughput counters")
     return p

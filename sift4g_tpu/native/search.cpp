@@ -44,10 +44,12 @@ struct SearchCtx {
   int n_queries;
   int max_candidates;
   int k;
-  // CSR hash over query k-mers (owned copies)
-  std::vector<int64_t> starts;
-  std::vector<int32_t> hit_query;
-  std::vector<int32_t> hit_pos;
+  // CSR hash over query k-mers — borrowed pointers; the Python caller
+  // keeps the backing arrays alive for the context's lifetime
+  // (prefilter/search.py _search_database_native holds the QueryKmerHash)
+  const int64_t* starts;
+  const int32_t* hit_query;
+  const int32_t* hit_pos;
   // accumulated per-query candidates (sorted desc, <= max_candidates)
   std::vector<std::vector<Candidate>> cands;
   std::vector<float> floors;
@@ -81,9 +83,9 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
                 const int64_t* offsets, int64_t lo, int64_t hi,
                 int64_t start_index, ThreadState* st) {
   const int k = ctx->k;
-  const int64_t* starts = ctx->starts.data();
-  const int32_t* hit_query = ctx->hit_query.data();
-  const int32_t* hit_pos = ctx->hit_pos.data();
+  const int64_t* starts = ctx->starts;
+  const int32_t* hit_query = ctx->hit_query;
+  const int32_t* hit_pos = ctx->hit_pos;
   const int maxc = ctx->max_candidates;
 
   for (int64_t si = lo; si < hi; ++si) {
@@ -141,13 +143,15 @@ void* sift4g_search_create(int n_queries, int max_candidates, int kmer_len,
                            const int64_t* starts, int64_t n_starts,
                            const int32_t* hit_query, const int32_t* hit_pos,
                            int64_t n_hits, int n_threads) {
+  (void)n_starts;
+  (void)n_hits;
   auto* ctx = new SearchCtx();
   ctx->n_queries = n_queries;
   ctx->max_candidates = max_candidates;
   ctx->k = kmer_len;
-  ctx->starts.assign(starts, starts + n_starts);
-  ctx->hit_query.assign(hit_query, hit_query + n_hits);
-  ctx->hit_pos.assign(hit_pos, hit_pos + n_hits);
+  ctx->starts = starts;
+  ctx->hit_query = hit_query;
+  ctx->hit_pos = hit_pos;
   ctx->cands.resize(n_queries);
   ctx->floors.assign(n_queries, 1e6f);  // database_search.cpp:86
   unsigned hw = std::thread::hardware_concurrency();

@@ -58,7 +58,7 @@ class PipelineConfig:
     sub_results: bool = False
     out_format: str = "bm9"
     sequence_identity: int = 100
-    align_backend: str = "xla"
+    align_backend: str = "auto"
     search_chunk_bytes: int = 250_000_000
     align_chunk_bytes: int = ALIGN_CHUNK_BYTES
     log: object = field(default_factory=lambda: sys.stderr)
@@ -74,7 +74,7 @@ def align_database(
     max_evalue: float,
     max_alignments: int,
     mode: str = "SW",
-    backend: str = "xla",
+    backend: str = "auto",
     chunk_bytes: int = ALIGN_CHUNK_BYTES,
     log=sys.stderr,
     metrics: Optional[PhaseMetrics] = None,

@@ -127,15 +127,19 @@ def _search_database_native(
     qhash = QueryKmerHash([q.codes for q in queries], kmer_length)
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
+    # the native context borrows these arrays — keep them alive until destroy
+    starts = np.ascontiguousarray(qhash.starts)
+    hit_query = np.ascontiguousarray(qhash.hit_query)
+    hit_pos = np.ascontiguousarray(qhash.hit_pos)
     ctx = lib.sift4g_search_create(
         len(queries),
         max_candidates,
         kmer_length,
-        qhash.starts.ctypes.data_as(i64p),
-        qhash.starts.shape[0],
-        np.ascontiguousarray(qhash.hit_query).ctypes.data_as(i32p),
-        np.ascontiguousarray(qhash.hit_pos).ctypes.data_as(i32p),
-        qhash.hit_query.shape[0],
+        starts.ctypes.data_as(i64p),
+        starts.shape[0],
+        hit_query.ctypes.data_as(i32p),
+        hit_pos.ctypes.data_as(i32p),
+        hit_query.shape[0],
         0,
     )
     total_cells = 0
