@@ -124,6 +124,34 @@ class BatchAligner:
         self.q_bucket = q_bucket
         self.t_bucket = t_bucket
         self._matrix32 = None
+        self._mesh = None
+        self._sharded_fns = {}
+        if backend in ("xla", "pallas"):
+            try:
+                import jax
+
+                if len(jax.devices()) > 1:
+                    from ..parallel.sharded import make_mesh
+
+                    self._mesh = make_mesh()
+                    # keep per-shard batches well-shaped
+                    n_dev = self._mesh.devices.size
+                    self.batch = _round_up(self.batch, n_dev)
+            except Exception:
+                self._mesh = None
+
+    def _sharded_fn(self):
+        """Multi-device SPMD scorer (db-sharded), built once per aligner."""
+        if "fn" not in self._sharded_fns:
+            from ..parallel.sharded import make_sharded_scores
+
+            self._sharded_fns["fn"] = make_sharded_scores(
+                self._mesh,
+                mode=self.mode,
+                gap_open=self.scorer.gap_open,
+                gap_extend=self.scorer.gap_extend,
+            )
+        return self._sharded_fns["fn"]
 
     def _matrix32_dev(self):
         if self._matrix32 is None:
@@ -134,24 +162,66 @@ class BatchAligner:
         return self._matrix32
 
     def scores(self, query_codes: np.ndarray, targets: Sequence[np.ndarray]) -> np.ndarray:
-        if len(targets) == 0:
-            return np.zeros(0, dtype=np.int64)
-        if self.backend == "numpy":
-            return np.array(
-                [score_pair(query_codes, t, self.scorer, self.mode) for t in targets],
-                dtype=np.int64,
-            )
-        return self._scores_device(query_codes, targets)
+        return self.scores_many([(query_codes, targets)])[0]
 
-    def _scores_device(self, query_codes: np.ndarray, targets: Sequence[np.ndarray]) -> np.ndarray:
+    def scores_many(self, items) -> List[np.ndarray]:
+        """Scores for many (query_codes, targets) pairs with ONE host fetch.
+
+        Dispatches every per-bucket kernel call asynchronously, concatenates
+        the device results, and fetches once: on remote-attached TPU
+        runtimes a synchronous fetch costs ~30 ms of pure RPC latency
+        (measured), so per-bucket fetches would dominate the align phase.
+        """
+        if self.backend == "numpy":
+            return [
+                np.array(
+                    [score_pair(q, t, self.scorer, self.mode) for t in targets],
+                    dtype=np.int64,
+                )
+                for q, targets in items
+            ]
+        import jax.numpy as jnp
+
+        pending = []   # (item_idx, chunk_idx, n_valid) per dispatched call
+        devs = []
+        for item_idx, (query_codes, targets) in enumerate(items):
+            if len(targets) == 0:
+                continue
+            for dev, chunk_idx in self._dispatch(query_codes, targets):
+                pending.append((item_idx, chunk_idx))
+                devs.append(dev)
+        out = [np.zeros(len(t), dtype=np.int64) for _, t in items]
+        if not devs:
+            return out
+        flat = np.asarray(jnp.concatenate(devs))           # single fetch
+        pos = 0
+        for (item_idx, chunk_idx), dev in zip(pending, devs):
+            n = dev.shape[0]
+            out[item_idx][chunk_idx] = flat[pos : pos + len(chunk_idx)]
+            pos += n
+        return out
+
+    def _dispatch(self, query_codes: np.ndarray, targets: Sequence[np.ndarray]):
+        """Async per-bucket kernel dispatches; yields (device_scores, idx)."""
         import jax.numpy as jnp
 
         from .xla import align_scores_kernel
 
-        if self.backend == "pallas":
+        if self._mesh is not None:
+            from ..parallel.sharded import shard_batch
+
+            sharded = self._sharded_fn()
+
+            def pick_kernel(n_pad):
+                def run(q_dev, qlen, tc, tl, m32, **_):
+                    t_dev, l_dev = shard_batch(self._mesh, tc, tl)
+                    return sharded(q_dev, qlen, t_dev, l_dev, m32)
+
+                return run
+        elif self.backend == "pallas":
             from .pallas_sw import sw_scores_pallas
 
-            # planes are (32, B, N) int8 in VMEM: keep them <= 8 MB and
+            # planes are (26, B, N) int8 in VMEM: keep them <= 8 MB and
             # fall back to the XLA scan for very long target buckets
             def pick_kernel(n_pad):
                 if self.batch * n_pad * 32 <= 8 * 1024 * 1024:
@@ -166,12 +236,12 @@ class BatchAligner:
         q = np.full(m_pad, PAD_CODE, dtype=np.int32)
         q[:m] = query_codes
 
-        out = np.zeros(len(targets), dtype=np.int64)
         # group targets into length buckets to bound padding waste
         order = np.argsort([t.shape[0] for t in targets], kind="stable")
         matrix32 = self._matrix32_dev()
         q_dev = jnp.asarray(q)
 
+        calls = []
         pos = 0
         while pos < len(order):
             chunk_idx = order[pos : pos + self.batch]
@@ -193,7 +263,6 @@ class BatchAligner:
                 gap_open=self.scorer.gap_open,
                 gap_extend=self.scorer.gap_extend,
             )
-            scores = np.asarray(scores)
-            out[chunk_idx] = scores[: len(chunk)]
+            calls.append((scores, chunk_idx))
             pos += self.batch
-        return out
+        return calls

@@ -93,6 +93,8 @@ def _sw_kernel(
     best_scr[:] = jnp.full((B, N), NEG if not local else 0, jnp.int32)
 
     n_rounds = max(1, (N - 1).bit_length())
+    jge1 = (col + 1) * ge          # loop-invariant: + j*ge term of the prefix
+    goge = go + col * ge           # loop-invariant: go + (j-1)*ge decay
 
     def row_body(i, _):
         c = q_ref[i]
@@ -116,14 +118,13 @@ def _sw_kernel(
             g = jnp.maximum(g, 0)
 
         # E_j = max(X_0, max_{1<=k<j}(G_k + k ge)) - go - (j-1) ge
-        a = g + (col + 1) * ge
-        cmax = a
+        cmax = g + jge1
         for r in range(n_rounds):
             k = 1 << r
             rolled = pltpu.roll(cmax, k, axis=1)
             cmax = jnp.maximum(cmax, jnp.where(col < k, NEG, rolled))
         cm1 = jnp.where(col < 1, NEG, pltpu.roll(cmax, 1, axis=1))
-        e = jnp.maximum(left0, cm1) - go - col * ge
+        e = jnp.maximum(left0, cm1) - goge
         h = jnp.maximum(g, e)
 
         h_scr[:] = h

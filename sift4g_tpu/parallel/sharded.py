@@ -94,6 +94,36 @@ def make_sharded_topk_align(
     return jax.jit(fn)
 
 
+def make_sharded_scores(
+    mesh: Mesh,
+    *,
+    mode: str = "SW",
+    gap_open: int = 10,
+    gap_extend: int = 1,
+    axis: str = DB_AXIS,
+):
+    """Jitted SPMD scorer: full (B,) scores with targets sharded over ``axis``.
+
+    Unlike :func:`make_sharded_topk_align` this returns every score — the
+    pipeline's E-value filter needs them all (database_alignment.cpp:83-86
+    filters by value threshold, not top-k).
+    """
+
+    def local_step(q, ql, t, tl, m32):
+        return align_scores(
+            q, ql, t, tl, m32, mode=mode, gap_open=gap_open, gap_extend=gap_extend
+        )
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis, None), P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_2d_mesh(n_devices: Optional[int] = None, q_axis: str = "q", axis: str = DB_AXIS) -> Mesh:
     """2-D mesh: data-parallel query axis x database-shard axis.
 

@@ -96,6 +96,11 @@ def align_database(
             more = fs.read_part(chains, chunk_bytes)
             db_len = len(chains)
             db_end = db_len - 1
+            # slice every query's candidates for this chunk, then score them
+            # all with ONE device round trip (scores_many defers the fetch)
+            chunk_used: List[List[int]] = [[] for _ in queries]
+            score_items = []
+            active = []
             for qi, query in enumerate(queries):
                 cand = remaining[qi]
                 take = 0
@@ -103,15 +108,20 @@ def align_database(
                     take += 1
                 if take == 0:
                     continue
-                used = cand[:take]
+                chunk_used[qi] = cand[:take]
                 remaining[qi] = cand[take:]
-                targets = [chains[t].codes for t in used]
-                scores = aligner.scores(query.codes, targets)
+                targets = [chains[t].codes for t in chunk_used[qi]]
+                score_items.append((query.codes, targets))
+                active.append(qi)
                 if metrics is not None:
                     metrics.add(
                         "align",
                         cells=float(len(query)) * float(sum(t.shape[0] for t in targets)),
                     )
+            all_scores = aligner.scores_many(score_items)
+            for qi, scores in zip(active, all_scores):
+                query = queries[qi]
+                used = chunk_used[qi]
                 evals = evalues(scores, len(query), evalue_params)
                 keep = np.flatnonzero(evals <= max_evalue)
                 # best-first: score desc, db index asc
