@@ -182,6 +182,9 @@ class BatchAligner:
             ]
         import jax.numpy as jnp
 
+        if self.backend == "pallas" and self._mesh is None:
+            return self._scores_pallas_grouped(items)
+
         pending = []   # (item_idx, chunk_idx, n_valid) per dispatched call
         devs = []
         for item_idx, (query_codes, targets) in enumerate(items):
@@ -199,6 +202,117 @@ class BatchAligner:
             n = dev.shape[0]
             out[item_idx][chunk_idx] = flat[pos : pos + len(chunk_idx)]
             pos += n
+        return out
+
+    def _scores_pallas_grouped(self, items) -> List[np.ndarray]:
+        """Pack every (query, target-bucket) pair into grid-of-groups Pallas
+        calls — one launch per target-length bucket instead of one per pair.
+
+        Kernel launches cost ~30 ms each through a remote-attached TPU
+        runtime with no dispatch overlap (measured), so launches — not
+        cells — dominate unless each call carries many groups.
+        """
+        import jax.numpy as jnp
+
+        from .pallas_sw import sw_scores_pallas_grouped
+        from .xla import align_scores_kernel
+
+        B = self.batch
+        out = [np.zeros(len(t), dtype=np.int64) for _, t in items]
+
+        # concatenated padded query codes; per-item offset and length
+        q_offsets = []
+        q_lens = []
+        q_chunks = []
+        off = 0
+        for query_codes, _ in items:
+            m = query_codes.shape[0]
+            m_pad = _round_up(max(m, 1), self.q_bucket)
+            qa = np.full(m_pad, PAD_CODE, dtype=np.int32)
+            qa[:m] = query_codes
+            q_chunks.append(qa)
+            q_offsets.append(off)
+            q_lens.append(m)
+            off += m_pad
+        q_all = np.concatenate(q_chunks) if q_chunks else np.zeros(0, np.int32)
+
+        # bucket groups by padded target length
+        buckets = {}   # n_pad -> list of (item_idx, chunk_idx array)
+        for item_idx, (_, targets) in enumerate(items):
+            if len(targets) == 0:
+                continue
+            order = np.argsort([t.shape[0] for t in targets], kind="stable")
+            pos = 0
+            while pos < len(order):
+                chunk_idx = order[pos : pos + B]
+                n_max = max(targets[i].shape[0] for i in chunk_idx)
+                n_pad = _round_up(max(n_max, 1), self.t_bucket)
+                buckets.setdefault(n_pad, []).append((item_idx, chunk_idx))
+                pos += B
+
+        matrix32 = self._matrix32_dev()
+        q_all_dev = jnp.asarray(q_all)
+        devs = []      # (dev_scores (G_pad, B), groups)
+        for n_pad, groups in sorted(buckets.items()):
+            g = len(groups)
+            g_pad = max(4, 1 << (g - 1).bit_length())      # bucket G to pow2
+            if B * n_pad * 32 > 8 * 1024 * 1024:
+                # planes would not fit VMEM: per-pair XLA fallback
+                for item_idx, chunk_idx in groups:
+                    query_codes, targets = items[item_idx]
+                    tc = np.full((B, n_pad), PAD_CODE, dtype=np.int32)
+                    tl = np.zeros(B, dtype=np.int32)
+                    for r, i in enumerate(chunk_idx):
+                        t = targets[i]
+                        tc[r, : t.shape[0]] = t
+                        tl[r] = t.shape[0]
+                    dev = align_scores_kernel(
+                        jnp.asarray(q_chunks[item_idx]),
+                        jnp.int32(q_lens[item_idx]),
+                        jnp.asarray(tc),
+                        jnp.asarray(tl),
+                        matrix32,
+                        mode=self.mode,
+                        gap_open=self.scorer.gap_open,
+                        gap_extend=self.scorer.gap_extend,
+                    )
+                    devs.append((dev.reshape(1, B), [(item_idx, chunk_idx)]))
+                continue
+            tg = np.full((g_pad, B, n_pad), PAD_CODE, dtype=np.int32)
+            tl = np.zeros((g_pad, B), dtype=np.int32)
+            go = np.zeros(g_pad, dtype=np.int32)
+            gl = np.zeros(g_pad, dtype=np.int32)
+            for gi, (item_idx, chunk_idx) in enumerate(groups):
+                _, targets = items[item_idx]
+                go[gi] = q_offsets[item_idx]
+                gl[gi] = q_lens[item_idx]
+                for r, i in enumerate(chunk_idx):
+                    t = targets[i]
+                    tg[gi, r, : t.shape[0]] = t
+                    tl[gi, r] = t.shape[0]
+            dev = sw_scores_pallas_grouped(
+                q_all_dev,
+                jnp.asarray(go),
+                jnp.asarray(gl),
+                jnp.asarray(tg),
+                jnp.asarray(tl),
+                matrix32,
+                mode=self.mode,
+                gap_open=self.scorer.gap_open,
+                gap_extend=self.scorer.gap_extend,
+            )
+            devs.append((dev, groups))
+
+        if not devs:
+            return out
+        flat = np.asarray(jnp.concatenate([d.reshape(-1) for d, _ in devs]))
+        pos = 0
+        for dev, groups in devs:
+            g_pad = dev.shape[0]
+            for gi, (item_idx, chunk_idx) in enumerate(groups):
+                seg = flat[pos + gi * B : pos + gi * B + len(chunk_idx)]
+                out[item_idx][chunk_idx] = seg
+            pos += g_pad * B
         return out
 
     def _dispatch(self, query_codes: np.ndarray, targets: Sequence[np.ndarray]):

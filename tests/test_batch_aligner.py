@@ -1,0 +1,41 @@
+"""BatchAligner backends agree (numpy vs xla vs pallas-grouped), CPU interpret."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+from jax.experimental.pallas import tpu as pltpu
+
+from sift4g_tpu.align.batch import BatchAligner
+from sift4g_tpu.core.scorers import create_scorer
+
+
+def _items(rng, n_queries=3, per_query=(0, 5, 23)):
+    items = []
+    for qi in range(n_queries):
+        q = rng.integers(0, 26, int(rng.integers(20, 90))).astype(np.uint8)
+        n_t = per_query[qi % len(per_query)]
+        targets = [
+            rng.integers(0, 26, int(rng.integers(3, 300))).astype(np.uint8)
+            for _ in range(n_t)
+        ]
+        items.append((q, targets))
+    return items
+
+
+@pytest.mark.parametrize("mode", ["SW", "NW"])
+def test_backends_agree_scores_many(mode):
+    rng = np.random.default_rng(77)
+    items = _items(rng)
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+
+    ref = BatchAligner(scorer, mode=mode, backend="numpy").scores_many(items)
+    got_xla = BatchAligner(scorer, mode=mode, backend="xla", batch=8).scores_many(items)
+    with pltpu.force_tpu_interpret_mode():
+        # pallas grouped path only runs without a mesh; build on 1 device
+        al = BatchAligner(scorer, mode=mode, backend="pallas", batch=8)
+        al._mesh = None
+        got_pl = al.scores_many(items)
+    for r, x, p in zip(ref, got_xla, got_pl):
+        np.testing.assert_array_equal(x, r)
+        np.testing.assert_array_equal(p, r)
