@@ -1,10 +1,18 @@
 """Benchmark: SW scoring throughput (GCUPS) on the available accelerator.
 
-Workload: one LACI-length query (360 aa) scored against a padded batch of
-512-aa targets — the shape class of the pipeline's hot phase (SW rescoring
-of prefilter candidates, reference database_alignment.cpp:21-127).  Cells
-are counted the reference's way: |q| x sum(|t|) true DP cells
+Workload: 32 LACI-length queries (360 aa) each scored against 256 padded
+512-aa targets — one grid-of-groups Pallas launch per call, the shape
+class of the pipeline's hot phase (SW rescoring of prefilter candidates,
+reference database_alignment.cpp:21-127).  Cells are counted the
+reference's way: sum over pairs of |q| x |t| true DP cells
 (database_search.cpp:126,182).
+
+Measurement rules learned on this platform (see align/pallas_sw.py):
+* a unique input per call — repeated identical dispatches get deduplicated
+  and overstate throughput ~10x;
+* every call is followed by a host fetch (np.asarray) — block_until_ready
+  does not actually block through the remote-attached runtime;
+* no other large jitted programs run first in this process.
 
 Baseline: the reference publishes no numbers (BASELINE.md) and its CUDA/C
 compute library (swsharp) is an empty submodule, so the comparison point
@@ -28,64 +36,97 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 BASELINE_GCUPS = 2.0  # assumed reference CPU build throughput (see docstring)
 
 
-def bench_sw_gcups(batch=512, n=512, m=360, iters=20, backend=None):
+def bench_grouped_pallas(groups=16, batch=1024, n=512, m=360, iters=8):
     import jax
+    import jax.numpy as jnp
 
-    from sift4g_tpu.align.batch import BatchAligner  # noqa: F401 (import check)
-    from sift4g_tpu.align.xla import PAD_CODE, _extend_matrix
+    from sift4g_tpu.align.pallas_sw import PAD_CODE, sw_scores_pallas_grouped
+    from sift4g_tpu.align.xla import _extend_matrix
     from sift4g_tpu.core.scorers import create_scorer
 
-    if backend is None:
-        from sift4g_tpu.align import best_backend
-
-        backend = best_backend()
-    if backend == "pallas":
-        from sift4g_tpu.align.pallas_sw import sw_scores_pallas as kernel_fn
-    else:
-        from sift4g_tpu.align.xla import align_scores_kernel as kernel_fn
-
     scorer = create_scorer("BLOSUM_62", 10, 1)
-    matrix32 = _extend_matrix(scorer.matrix)
+    m32 = jnp.asarray(_extend_matrix(scorer.matrix))
     rng = np.random.default_rng(42)
 
     m_pad = -(-m // 64) * 64
-    q = np.full(m_pad, PAD_CODE, dtype=np.int32)
-    q[:m] = rng.integers(0, 26, size=m)
-    # a unique target batch per call: repeated identical dispatches were
-    # measured to overstate throughput ~10x on this platform.  Do NOT run
-    # other large jitted programs in this process first — a co-resident
-    # program with GB-scale HBM intermediates degrades subsequent calls
-    # ~100x (measured; see align/pallas_sw.py docstring).
+    q_all = np.full(groups * m_pad, PAD_CODE, dtype=np.int32)
+    q_off = (np.arange(groups) * m_pad).astype(np.int32)
+    q_len = np.full(groups, m, dtype=np.int32)
+    for g in range(groups):
+        q_all[g * m_pad : g * m_pad + m] = rng.integers(0, 26, m)
     targets = [
-        jax.numpy.asarray(rng.integers(0, 26, size=(batch, n)).astype(np.int32))
-        for _ in range(iters)
+        jnp.asarray(rng.integers(0, 26, (groups, batch, n)).astype(np.int32))
+        for _ in range(iters + 1)
     ]
-    lens = jax.numpy.asarray(np.full(batch, n, dtype=np.int32))
-    q_dev = jax.numpy.asarray(q)
-    qlen = jax.numpy.int32(m)
-    m32 = jax.numpy.asarray(matrix32)
+    lens = np.full((groups, batch), n, dtype=np.int32)
 
-    out = kernel_fn(q_dev, qlen, targets[0], lens, m32, mode="SW")  # compile
-    jax.block_until_ready(out)
+    args = (jnp.asarray(q_all), jnp.asarray(q_off), jnp.asarray(q_len))
+    kw = dict(max_qlen=m_pad, max_sub=11)  # BLOSUM_62 max -> int16 DP
+    call = lambda t: np.asarray(
+        sw_scores_pallas_grouped(*args, t, jnp.asarray(lens), m32, **kw)
+    )
+    _ = call(targets[0])  # compile
 
-    t0 = time.perf_counter()
-    outs = [
-        kernel_fn(q_dev, qlen, targets[i], lens, m32, mode="SW")
-        for i in range(iters)
+    cells = groups * m * batch * n
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        _ = call(targets[i + 1])
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return cells / best / 1e9
+
+
+def bench_xla_scan(batch=512, n=512, m=360, iters=8):
+    import jax
+    import jax.numpy as jnp
+
+    from sift4g_tpu.align.xla import PAD_CODE, _extend_matrix, align_scores_kernel
+    from sift4g_tpu.core.scorers import create_scorer
+
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    m32 = jnp.asarray(_extend_matrix(scorer.matrix))
+    rng = np.random.default_rng(42)
+    m_pad = -(-m // 64) * 64
+    q = np.full(m_pad, PAD_CODE, dtype=np.int32)
+    q[:m] = rng.integers(0, 26, m)
+    q = jnp.asarray(q)
+    lens = jnp.asarray(np.full(batch, n, dtype=np.int32))
+    targets = [
+        jnp.asarray(rng.integers(0, 26, (batch, n)).astype(np.int32))
+        for _ in range(iters + 1)
     ]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-
-    cells = m * batch * n * iters
-    return cells / dt / 1e9, backend
+    _ = np.asarray(align_scores_kernel(q, jnp.int32(m), targets[0], lens, m32))
+    cells = m * batch * n
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        _ = np.asarray(
+            align_scores_kernel(q, jnp.int32(m), targets[i + 1], lens, m32)
+        )
+        times.append(time.perf_counter() - t0)
+    return cells / min(times) / 1e9
 
 
 def main():
-    gcups, backend = bench_sw_gcups()
+    import jax
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        try:
+            gcups = bench_grouped_pallas()
+            metric = "sw_score_gcups[pallas-grouped]"
+        except Exception as exc:
+            print(f"pallas bench failed ({exc}); falling back to xla", file=sys.stderr)
+            gcups = bench_xla_scan()
+            metric = "sw_score_gcups[xla]"
+    else:
+        gcups = bench_xla_scan()
+        metric = "sw_score_gcups[xla-cpu]"
     print(
         json.dumps(
             {
-                "metric": f"sw_score_gcups[{backend}]",
+                "metric": metric,
                 "value": round(gcups, 3),
                 "unit": "GCUPS",
                 "vs_baseline": round(gcups / BASELINE_GCUPS, 2),

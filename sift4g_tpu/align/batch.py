@@ -217,8 +217,15 @@ class BatchAligner:
         from .pallas_sw import sw_scores_pallas_grouped
         from .xla import align_scores_kernel
 
-        B = self.batch
         out = [np.zeros(len(t), dtype=np.int64) for _, t in items]
+
+        # per-row VPU op issue overhead dominates narrow batches (measured:
+        # (256, 512) rows run ~8x below (1024, 512) rows per cell), so pick
+        # the widest B whose substitution planes stay inside ~13 MB of VMEM
+        def b_for(n_pad: int) -> int:
+            planes_budget = 13 * 1024 * 1024 // 26
+            b = planes_budget // n_pad // 256 * 256
+            return int(max(256, min(4096, b)))
 
         # concatenated padded query codes; per-item offset and length
         q_offsets = []
@@ -236,48 +243,56 @@ class BatchAligner:
             off += m_pad
         q_all = np.concatenate(q_chunks) if q_chunks else np.zeros(0, np.int32)
 
-        # bucket groups by padded target length
-        buckets = {}   # n_pad -> list of (item_idx, chunk_idx array)
+        # bucket every target by its padded length, then chunk each
+        # per-query length-bucket into groups of that bucket's batch width
+        buckets = {}   # (n_pad, B) -> list of (item_idx, chunk_idx array)
+        xla_fallback = []   # (item_idx, chunk_idx, n_pad) for very long targets
         for item_idx, (_, targets) in enumerate(items):
             if len(targets) == 0:
                 continue
-            order = np.argsort([t.shape[0] for t in targets], kind="stable")
-            pos = 0
-            while pos < len(order):
-                chunk_idx = order[pos : pos + B]
-                n_max = max(targets[i].shape[0] for i in chunk_idx)
-                n_pad = _round_up(max(n_max, 1), self.t_bucket)
-                buckets.setdefault(n_pad, []).append((item_idx, chunk_idx))
-                pos += B
+            per_np = {}
+            for i, t in enumerate(targets):
+                n_pad = _round_up(max(t.shape[0], 1), self.t_bucket)
+                per_np.setdefault(n_pad, []).append(i)
+            for n_pad, idxs in per_np.items():
+                if 26 * n_pad * 256 > 14 * 1024 * 1024:
+                    # even B=256 planes would not fit VMEM
+                    for pos in range(0, len(idxs), self.batch):
+                        xla_fallback.append(
+                            (item_idx, np.asarray(idxs[pos : pos + self.batch]), n_pad)
+                        )
+                    continue
+                bcap = b_for(n_pad)
+                for pos in range(0, len(idxs), bcap):
+                    chunk_idx = np.asarray(idxs[pos : pos + bcap])
+                    buckets.setdefault((n_pad, bcap), []).append((item_idx, chunk_idx))
 
         matrix32 = self._matrix32_dev()
         q_all_dev = jnp.asarray(q_all)
-        devs = []      # (dev_scores (G_pad, B), groups)
-        for n_pad, groups in sorted(buckets.items()):
+        devs = []      # (dev_scores (G_pad, B), B, groups)
+        for item_idx, chunk_idx, n_pad in xla_fallback:
+            query_codes, targets = items[item_idx]
+            b = self.batch
+            tc = np.full((b, n_pad), PAD_CODE, dtype=np.int32)
+            tl = np.zeros(b, dtype=np.int32)
+            for r, i in enumerate(chunk_idx):
+                t = targets[i]
+                tc[r, : t.shape[0]] = t
+                tl[r] = t.shape[0]
+            dev = align_scores_kernel(
+                jnp.asarray(q_chunks[item_idx]),
+                jnp.int32(q_lens[item_idx]),
+                jnp.asarray(tc),
+                jnp.asarray(tl),
+                matrix32,
+                mode=self.mode,
+                gap_open=self.scorer.gap_open,
+                gap_extend=self.scorer.gap_extend,
+            )
+            devs.append((dev.reshape(1, b), b, [(item_idx, chunk_idx)]))
+        for (n_pad, B), groups in sorted(buckets.items()):
             g = len(groups)
             g_pad = max(4, 1 << (g - 1).bit_length())      # bucket G to pow2
-            if B * n_pad * 32 > 8 * 1024 * 1024:
-                # planes would not fit VMEM: per-pair XLA fallback
-                for item_idx, chunk_idx in groups:
-                    query_codes, targets = items[item_idx]
-                    tc = np.full((B, n_pad), PAD_CODE, dtype=np.int32)
-                    tl = np.zeros(B, dtype=np.int32)
-                    for r, i in enumerate(chunk_idx):
-                        t = targets[i]
-                        tc[r, : t.shape[0]] = t
-                        tl[r] = t.shape[0]
-                    dev = align_scores_kernel(
-                        jnp.asarray(q_chunks[item_idx]),
-                        jnp.int32(q_lens[item_idx]),
-                        jnp.asarray(tc),
-                        jnp.asarray(tl),
-                        matrix32,
-                        mode=self.mode,
-                        gap_open=self.scorer.gap_open,
-                        gap_extend=self.scorer.gap_extend,
-                    )
-                    devs.append((dev.reshape(1, B), [(item_idx, chunk_idx)]))
-                continue
             tg = np.full((g_pad, B, n_pad), PAD_CODE, dtype=np.int32)
             tl = np.zeros((g_pad, B), dtype=np.int32)
             go = np.zeros(g_pad, dtype=np.int32)
@@ -290,6 +305,8 @@ class BatchAligner:
                     t = targets[i]
                     tg[gi, r, : t.shape[0]] = t
                     tl[gi, r] = t.shape[0]
+            # static int16 gate: bucketed query-length bound + matrix max
+            max_qlen = _round_up(max(q_lens) if q_lens else 1, self.q_bucket)
             dev = sw_scores_pallas_grouped(
                 q_all_dev,
                 jnp.asarray(go),
@@ -300,19 +317,21 @@ class BatchAligner:
                 mode=self.mode,
                 gap_open=self.scorer.gap_open,
                 gap_extend=self.scorer.gap_extend,
+                max_qlen=max_qlen,
+                max_sub=int(self.scorer.matrix.max()),
             )
-            devs.append((dev, groups))
+            devs.append((dev, B, groups))
 
         if not devs:
             return out
-        flat = np.asarray(jnp.concatenate([d.reshape(-1) for d, _ in devs]))
+        flat = np.asarray(jnp.concatenate([d.reshape(-1) for d, _, _ in devs]))
         pos = 0
-        for dev, groups in devs:
+        for dev, b, groups in devs:
             g_pad = dev.shape[0]
             for gi, (item_idx, chunk_idx) in enumerate(groups):
-                seg = flat[pos + gi * B : pos + gi * B + len(chunk_idx)]
+                seg = flat[pos + gi * b : pos + gi * b + len(chunk_idx)]
                 out[item_idx][chunk_idx] = seg
-            pos += g_pad * B
+            pos += g_pad * b
         return out
 
     def _dispatch(self, query_codes: np.ndarray, targets: Sequence[np.ndarray]):

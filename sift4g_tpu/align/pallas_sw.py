@@ -174,11 +174,17 @@ def _sw_grouped_kernel(
     mode: str,
     go: int,
     ge: int,
+    dt=jnp.int32,
+    neg: int = NEG,
 ):
     """Grid-of-groups variant: one launch scores G (query, target-batch)
     pairs.  Kernel launches cost ~30 ms each through a remote-attached
     runtime (measured, with no dispatch overlap), so per-call work must be
-    large; the grid also double-buffers the HBM->VMEM target loads."""
+    large; the grid also double-buffers the HBM->VMEM target loads.
+
+    ``dt`` is the DP accumulator dtype: int16 doubles VPU element density
+    and is exact whenever max_qlen*max_substitution + go + N*ge stays well
+    inside the int16 range (the wrapper gates this)."""
     g = pl.program_id(0)
     B, N = h_scr.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
@@ -204,29 +210,29 @@ def _sw_grouped_kernel(
     local = mode == "SW"
 
     if free_top:
-        h_scr[:] = jnp.zeros((B, N), jnp.int32)
+        h_scr[:] = jnp.zeros((B, N), dt)
     else:
-        h_scr[:] = -(go + col * ge)
-    f_scr[:] = jnp.full((B, N), NEG, jnp.int32)
-    best_scr[:] = jnp.full((B, N), NEG if not local else 0, jnp.int32)
+        h_scr[:] = (-(go + col * ge)).astype(dt)
+    f_scr[:] = jnp.full((B, N), neg, dt)
+    best_scr[:] = jnp.full((B, N), neg if not local else 0, dt)
 
     n_rounds = max(1, (N - 1).bit_length())
-    jge1 = (col + 1) * ge
-    goge = go + col * ge
+    jge1 = ((col + 1) * ge).astype(dt)
+    goge = (go + col * ge).astype(dt)
     qoff = qoff_ref[g]
     lens01 = lens_ref[0]                                   # (B, 1)
 
     def row_body(i, _):
         c = q_ref[qoff + i]
-        s = planes_scr[c].astype(jnp.int32)
+        s = planes_scr[c].astype(dt)
         hp = h_scr[:]
         fp = f_scr[:]
         if free_left:
-            left0 = jnp.int32(0)
-            left0_prev = jnp.int32(0)
+            left0 = jnp.zeros((), dt)
+            left0_prev = jnp.zeros((), dt)
         else:
-            left0 = -(go + i * ge)
-            left0_prev = jnp.where(i == 0, 0, -(go + (i - 1) * ge))
+            left0 = (-(go + i * ge)).astype(dt)
+            left0_prev = jnp.where(i == 0, 0, -(go + (i - 1) * ge)).astype(dt)
         f = jnp.maximum(hp - go, fp - ge)
         diag = pltpu.roll(hp, 1, axis=1)
         diag = jnp.where(col == 0, left0_prev, diag)
@@ -237,8 +243,8 @@ def _sw_grouped_kernel(
         for r in range(n_rounds):
             k = 1 << r
             rolled = pltpu.roll(cmax, k, axis=1)
-            cmax = jnp.maximum(cmax, jnp.where(col < k, NEG, rolled))
-        cm1 = jnp.where(col < 1, NEG, pltpu.roll(cmax, 1, axis=1))
+            cmax = jnp.maximum(cmax, jnp.where(col < k, neg, rolled))
+        cm1 = jnp.where(col < 1, neg, pltpu.roll(cmax, 1, axis=1))
         e = jnp.maximum(left0, cm1) - goge
         h = jnp.maximum(g_, e)
         h_scr[:] = h
@@ -247,7 +253,7 @@ def _sw_grouped_kernel(
             best_scr[:] = jnp.maximum(best_scr[:], h)
         elif mode == "OV":
             best_scr[:] = jnp.maximum(
-                best_scr[:], jnp.where(col == lens01 - 1, h, NEG)
+                best_scr[:], jnp.where(col == lens01 - 1, h, neg)
             )
         return 0
 
@@ -258,17 +264,23 @@ def _sw_grouped_kernel(
     if mode == "SW":
         out = jnp.max(jnp.where(col_valid, best_scr[:], 0), axis=1, keepdims=True)
     elif mode == "NW":
-        out = jnp.max(jnp.where(col == lens01 - 1, hfin, NEG), axis=1, keepdims=True)
+        out = jnp.max(jnp.where(col == lens01 - 1, hfin, neg), axis=1, keepdims=True)
     elif mode == "HW":
-        out = jnp.max(jnp.where(col_valid, hfin, NEG), axis=1, keepdims=True)
+        out = jnp.max(jnp.where(col_valid, hfin, neg), axis=1, keepdims=True)
     else:  # OV
-        row_best = jnp.max(jnp.where(col_valid, hfin, NEG), axis=1, keepdims=True)
+        row_best = jnp.max(jnp.where(col_valid, hfin, neg), axis=1, keepdims=True)
         col_best = jnp.max(best_scr[:], axis=1, keepdims=True)
         out = jnp.maximum(jnp.maximum(row_best, col_best), 0)
-    out_ref[0] = out
+    out_ref[0] = out.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("mode", "gap_open", "gap_extend"))
+NEG16 = -16000
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mode", "gap_open", "gap_extend", "max_qlen", "max_sub"),
+)
 def sw_scores_pallas_grouped(
     q_codes_all: jnp.ndarray,   # (Qm,) int32 concatenated padded queries
     q_offsets: jnp.ndarray,     # (G,) int32
@@ -280,9 +292,24 @@ def sw_scores_pallas_grouped(
     mode: str = "SW",
     gap_open: int = 10,
     gap_extend: int = 1,
+    max_qlen: int = 0,
+    max_sub: int = 0,
 ) -> jnp.ndarray:
-    """Scores (G, B) int32: group g = query g vs its B padded targets."""
+    """Scores (G, B) int32: group g = query g vs its B padded targets.
+
+    When the caller supplies static bounds (``max_qlen`` over all groups,
+    ``max_sub`` = max substitution score of the matrix) that keep every DP
+    value inside int16, the kernel runs with int16 accumulators (2x VPU
+    element density); otherwise int32.  Results are identical.
+    """
     G, B, N = targets.shape
+    use_i16 = (
+        max_qlen > 0
+        and max_sub > 0
+        and max_qlen * max_sub + gap_open + (N + 1) * gap_extend < -NEG16 // 2
+    )
+    dt = jnp.int16 if use_i16 else jnp.int32
+    neg = NEG16 if use_i16 else NEG
     m32_flat = jnp.clip(matrix32, -128, 127).astype(jnp.int32).reshape(32 * 32)
     lens3 = target_lens.astype(jnp.int32).reshape(G, B, 1)
 
@@ -296,13 +323,15 @@ def sw_scores_pallas_grouped(
         out_specs=pl.BlockSpec((1, B, 1), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((26, B, N), jnp.int8),
-            pltpu.VMEM((B, N), jnp.int32),
-            pltpu.VMEM((B, N), jnp.int32),
-            pltpu.VMEM((B, N), jnp.int32),
+            pltpu.VMEM((B, N), dt),
+            pltpu.VMEM((B, N), dt),
+            pltpu.VMEM((B, N), dt),
         ],
     )
     out = pl.pallas_call(
-        partial(_sw_grouped_kernel, mode=mode, go=gap_open, ge=gap_extend),
+        partial(
+            _sw_grouped_kernel, mode=mode, go=gap_open, ge=gap_extend, dt=dt, neg=neg
+        ),
         out_shape=jax.ShapeDtypeStruct((G, B, 1), jnp.int32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(

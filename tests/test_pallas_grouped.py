@@ -36,6 +36,14 @@ def test_grouped_matches_xla(mode):
                 q_all, q_offsets, qlens, targets, lens, m32, mode=mode
             )
         )
+        # int16 accumulator path (static bounds make it admissible)
+        got16 = np.asarray(
+            sw_scores_pallas_grouped(
+                q_all, q_offsets, qlens, targets, lens, m32, mode=mode,
+                max_qlen=64, max_sub=int(scorer.matrix.max()),
+            )
+        )
+    np.testing.assert_array_equal(got16, got)
     for g in range(G):
         ref = np.asarray(
             align_scores_kernel(
