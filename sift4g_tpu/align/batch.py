@@ -25,6 +25,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _length_rung(n: int, base: int) -> int:
+    """Padded-length ladder base * {1, 2, 3, 4, 6, 8, 12, 16, ...}: bounds
+    the number of compiled kernel shapes (each distinct shape pays a full
+    Mosaic compile) with <= 1.5x padding waste."""
+    k = -(-max(n, 1) // base)          # ceil multiple of base
+    p = 1
+    while p < k:
+        p *= 2
+    if p >= 4 and 3 * p // 4 >= k:     # 3 * 2^a rung between powers of two
+        p = 3 * p // 4
+    return base * p
+
+
 def align_pairs_batch(
     query_codes: np.ndarray,
     targets: Sequence[np.ndarray],
@@ -252,7 +265,7 @@ class BatchAligner:
                 continue
             per_np = {}
             for i, t in enumerate(targets):
-                n_pad = _round_up(max(t.shape[0], 1), self.t_bucket)
+                n_pad = _length_rung(t.shape[0], self.t_bucket)
                 per_np.setdefault(n_pad, []).append(i)
             for n_pad, idxs in per_np.items():
                 if 26 * n_pad * 256 > 14 * 1024 * 1024:
@@ -290,37 +303,41 @@ class BatchAligner:
                 gap_extend=self.scorer.gap_extend,
             )
             devs.append((dev.reshape(1, b), b, [(item_idx, chunk_idx)]))
+        # fixed grid size per launch: every (n_pad, B) bucket compiles ONE
+        # kernel shape; trailing dummy groups (qlen 0) skip their row loop
+        G_CHUNK = 16
         for (n_pad, B), groups in sorted(buckets.items()):
-            g = len(groups)
-            g_pad = max(4, 1 << (g - 1).bit_length())      # bucket G to pow2
-            tg = np.full((g_pad, B, n_pad), PAD_CODE, dtype=np.int32)
-            tl = np.zeros((g_pad, B), dtype=np.int32)
-            go = np.zeros(g_pad, dtype=np.int32)
-            gl = np.zeros(g_pad, dtype=np.int32)
-            for gi, (item_idx, chunk_idx) in enumerate(groups):
-                _, targets = items[item_idx]
-                go[gi] = q_offsets[item_idx]
-                gl[gi] = q_lens[item_idx]
-                for r, i in enumerate(chunk_idx):
-                    t = targets[i]
-                    tg[gi, r, : t.shape[0]] = t
-                    tl[gi, r] = t.shape[0]
-            # static int16 gate: bucketed query-length bound + matrix max
-            max_qlen = _round_up(max(q_lens) if q_lens else 1, self.q_bucket)
-            dev = sw_scores_pallas_grouped(
-                q_all_dev,
-                jnp.asarray(go),
-                jnp.asarray(gl),
-                jnp.asarray(tg),
-                jnp.asarray(tl),
-                matrix32,
-                mode=self.mode,
-                gap_open=self.scorer.gap_open,
-                gap_extend=self.scorer.gap_extend,
-                max_qlen=max_qlen,
-                max_sub=int(self.scorer.matrix.max()),
-            )
-            devs.append((dev, B, groups))
+            for gpos in range(0, len(groups), G_CHUNK):
+                part = groups[gpos : gpos + G_CHUNK]
+                tg = np.full((G_CHUNK, B, n_pad), PAD_CODE, dtype=np.int32)
+                tl = np.zeros((G_CHUNK, B), dtype=np.int32)
+                go = np.zeros(G_CHUNK, dtype=np.int32)
+                gl = np.zeros(G_CHUNK, dtype=np.int32)
+                for gi, (item_idx, chunk_idx) in enumerate(part):
+                    _, targets = items[item_idx]
+                    go[gi] = q_offsets[item_idx]
+                    gl[gi] = q_lens[item_idx]
+                    for r, i in enumerate(chunk_idx):
+                        t = targets[i]
+                        tg[gi, r, : t.shape[0]] = t
+                        tl[gi, r] = t.shape[0]
+                # static int16 gate: ladder-bucketed query-length bound (a
+                # distinct value would force a recompile) + matrix max
+                max_qlen = _length_rung(max(q_lens) if q_lens else 1, self.q_bucket)
+                dev = sw_scores_pallas_grouped(
+                    q_all_dev,
+                    jnp.asarray(go),
+                    jnp.asarray(gl),
+                    jnp.asarray(tg),
+                    jnp.asarray(tl),
+                    matrix32,
+                    mode=self.mode,
+                    gap_open=self.scorer.gap_open,
+                    gap_extend=self.scorer.gap_extend,
+                    max_qlen=max_qlen,
+                    max_sub=int(self.scorer.matrix.max()),
+                )
+                devs.append((dev, B, part))
 
         if not devs:
             return out

@@ -259,19 +259,21 @@ def _sw_grouped_kernel(
 
     jax.lax.fori_loop(0, qlen_ref[g], row_body, 0, unroll=False)
 
+    # final reductions in int32: Mosaic does not lower int16 reductions
     col_valid = col < lens01
-    hfin = h_scr[:]
+    hfin = h_scr[:].astype(jnp.int32)
+    bestf = best_scr[:].astype(jnp.int32)
     if mode == "SW":
-        out = jnp.max(jnp.where(col_valid, best_scr[:], 0), axis=1, keepdims=True)
+        out = jnp.max(jnp.where(col_valid, bestf, 0), axis=1, keepdims=True)
     elif mode == "NW":
-        out = jnp.max(jnp.where(col == lens01 - 1, hfin, neg), axis=1, keepdims=True)
+        out = jnp.max(jnp.where(col == lens01 - 1, hfin, NEG), axis=1, keepdims=True)
     elif mode == "HW":
-        out = jnp.max(jnp.where(col_valid, hfin, neg), axis=1, keepdims=True)
+        out = jnp.max(jnp.where(col_valid, hfin, NEG), axis=1, keepdims=True)
     else:  # OV
-        row_best = jnp.max(jnp.where(col_valid, hfin, neg), axis=1, keepdims=True)
-        col_best = jnp.max(best_scr[:], axis=1, keepdims=True)
+        row_best = jnp.max(jnp.where(col_valid, hfin, NEG), axis=1, keepdims=True)
+        col_best = jnp.max(bestf, axis=1, keepdims=True)
         out = jnp.maximum(jnp.maximum(row_best, col_best), 0)
-    out_ref[0] = out.astype(jnp.int32)
+    out_ref[0] = out
 
 
 NEG16 = -16000

@@ -1,0 +1,57 @@
+"""End-to-end pipeline benchmark on a synthetic database.
+
+Usage:
+  python tools/make_synthetic_db.py /tmp/synth --n-db 20000 --n-q 10
+  python tools/bench_pipeline.py /tmp/synth [--backend auto] [--max-candidates 5000]
+
+Prints per-phase timings (PhaseMetrics) and a queries/sec summary line.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("data_dir")
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--max-candidates", type=int, default=5000)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU platform (jax.config, pre-backend-init)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from sift4g_tpu.pipeline import PipelineConfig, run_pipeline
+
+    out_dir = args.out or os.path.join(args.data_dir, "out")
+    os.makedirs(out_dir, exist_ok=True)
+    cfg = PipelineConfig(
+        query_path=os.path.join(args.data_dir, "queries.fa"),
+        database_path=os.path.join(args.data_dir, "db.fa"),
+        out_path=out_dir,
+        align_backend=args.backend,
+        max_candidates=args.max_candidates,
+        timings=True,
+    )
+    t0 = time.perf_counter()
+    queries = run_pipeline(cfg)
+    dt = time.perf_counter() - t0
+    print(
+        f"pipeline: {len(queries)} queries in {dt:.2f}s "
+        f"-> {len(queries) / dt:.3f} queries/s [backend={args.backend}]",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
