@@ -305,8 +305,15 @@ def sw_scores_pallas_grouped(
     element density); otherwise int32.  Results are identical.
     """
     G, B, N = targets.shape
+    # int16 DP is exact under these bounds, but Mosaic currently cannot
+    # lower tpu.dynamic_rotate on 16-bit vectors ("not implemented: Rotate
+    # with non-32-bit data", observed on v5e) — the prefix-max rolls are
+    # the kernel's backbone, so int16 stays disabled until Mosaic supports
+    # it (or the rolls are rewritten as masked concat-shifts).
+    _I16_ROTATE_SUPPORTED = False
     use_i16 = (
-        max_qlen > 0
+        _I16_ROTATE_SUPPORTED
+        and max_qlen > 0
         and max_sub > 0
         and max_qlen * max_sub + gap_open + (N + 1) * gap_extend < -NEG16 // 2
     )

@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "Pallas kernel on TPU, the XLA scan elsewhere)")
     p.add_argument("--timings", action="store_true",
                    help="print per-phase wall-clock and throughput counters")
+    from . import __version__
+
+    p.add_argument("--version", action="version",
+                   version=f"%(prog)s {__version__}")
     return p
 
 
