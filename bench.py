@@ -108,13 +108,35 @@ def bench_xla_scan(batch=512, n=512, m=360, iters=8):
     return cells / min(times) / 1e9
 
 
+class _BenchTimeout(Exception):
+    pass
+
+
+def _with_deadline(seconds, fn, *args, **kwargs):
+    """Run fn with a SIGALRM deadline — kernel compiles through the remote
+    compile service can take many minutes when it is loaded, and the
+    driver's bench window is finite."""
+    import signal
+
+    def _raise(signum, frame):
+        raise _BenchTimeout(f"exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        return fn(*args, **kwargs)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
     import jax
 
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
         try:
-            gcups = bench_grouped_pallas()
+            gcups = _with_deadline(480, bench_grouped_pallas)
             metric = "sw_score_gcups[pallas-grouped]"
         except Exception as exc:
             print(f"pallas bench failed ({exc}); falling back to xla", file=sys.stderr)

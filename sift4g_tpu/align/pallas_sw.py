@@ -176,6 +176,7 @@ def _sw_grouped_kernel(
     ge: int,
     dt=jnp.int32,
     neg: int = NEG,
+    shift_impl: str = "roll",
 ):
     """Grid-of-groups variant: one launch scores G (query, target-batch)
     pairs.  Kernel launches cost ~30 ms each through a remote-attached
@@ -222,6 +223,17 @@ def _sw_grouped_kernel(
     qoff = qoff_ref[g]
     lens01 = lens_ref[0]                                   # (B, 1)
 
+    if shift_impl == "concat":
+        # static-slice shift: 2 ops/round (concat+max) vs roll's 3
+        # (roll+where+max)
+        def shift_neg(x, k):
+            return jnp.concatenate(
+                [jnp.full((B, k), neg, dt), x[:, : N - k]], axis=1
+            )
+    else:
+        def shift_neg(x, k):
+            return jnp.where(col < k, neg, pltpu.roll(x, k, axis=1))
+
     def row_body(i, _):
         c = q_ref[qoff + i]
         s = planes_scr[c].astype(dt)
@@ -241,10 +253,8 @@ def _sw_grouped_kernel(
             g_ = jnp.maximum(g_, 0)
         cmax = g_ + jge1
         for r in range(n_rounds):
-            k = 1 << r
-            rolled = pltpu.roll(cmax, k, axis=1)
-            cmax = jnp.maximum(cmax, jnp.where(col < k, neg, rolled))
-        cm1 = jnp.where(col < 1, neg, pltpu.roll(cmax, 1, axis=1))
+            cmax = jnp.maximum(cmax, shift_neg(cmax, 1 << r))
+        cm1 = shift_neg(cmax, 1)
         e = jnp.maximum(left0, cm1) - goge
         h = jnp.maximum(g_, e)
         h_scr[:] = h
@@ -281,7 +291,9 @@ NEG16 = -16000
 
 @partial(
     jax.jit,
-    static_argnames=("mode", "gap_open", "gap_extend", "max_qlen", "max_sub"),
+    static_argnames=(
+        "mode", "gap_open", "gap_extend", "max_qlen", "max_sub", "shift_impl",
+    ),
 )
 def sw_scores_pallas_grouped(
     q_codes_all: jnp.ndarray,   # (Qm,) int32 concatenated padded queries
@@ -296,6 +308,7 @@ def sw_scores_pallas_grouped(
     gap_extend: int = 1,
     max_qlen: int = 0,
     max_sub: int = 0,
+    shift_impl: str = "roll",
 ) -> jnp.ndarray:
     """Scores (G, B) int32: group g = query g vs its B padded targets.
 
@@ -339,7 +352,13 @@ def sw_scores_pallas_grouped(
     )
     out = pl.pallas_call(
         partial(
-            _sw_grouped_kernel, mode=mode, go=gap_open, ge=gap_extend, dt=dt, neg=neg
+            _sw_grouped_kernel,
+            mode=mode,
+            go=gap_open,
+            ge=gap_extend,
+            dt=dt,
+            neg=neg,
+            shift_impl=shift_impl,
         ),
         out_shape=jax.ShapeDtypeStruct((G, B, 1), jnp.int32),
         grid_spec=grid_spec,

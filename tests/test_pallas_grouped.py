@@ -43,7 +43,15 @@ def test_grouped_matches_xla(mode):
                 max_qlen=64, max_sub=int(scorer.matrix.max()),
             )
         )
+        # concat-shift prefix-max variant
+        got_cs = np.asarray(
+            sw_scores_pallas_grouped(
+                q_all, q_offsets, qlens, targets, lens, m32, mode=mode,
+                shift_impl="concat",
+            )
+        )
     np.testing.assert_array_equal(got16, got)
+    np.testing.assert_array_equal(got_cs, got)
     for g in range(G):
         ref = np.asarray(
             align_scores_kernel(
