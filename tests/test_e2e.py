@@ -62,6 +62,32 @@ def test_matrix_predictions_golden(tmp_path, backend):
     )
 
 
+def test_pallas_grouped_backend_golden(tmp_path, monkeypatch):
+    """The grouped Pallas path (production TPU config) reproduces goldens.
+
+    On the CPU test mesh the pallas backend normally routes through the
+    sharded scorer; pin the grouped path by stripping the mesh and run the
+    kernels in Mosaic interpret mode.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    import sift4g_tpu.align.batch as batch_mod
+
+    orig_init = batch_mod.BatchAligner.__init__
+
+    def no_mesh_init(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        self._mesh = None
+
+    monkeypatch.setattr(batch_mod.BatchAligner, "__init__", no_mesh_init)
+    with pltpu.force_tpu_interpret_mode():
+        run(tmp_path, "pallas", subst=True)
+    for name in ("LACI_ECOLI", "PURR_SALTY"):
+        got = tmp_path / f"{name}.SIFTprediction"
+        want = os.path.join(GOLDEN, f"{name}.SIFTprediction")
+        assert filecmp.cmp(got, want, shallow=False), f"{name} differs"
+
+
 def test_chunked_alignment_matches(tmp_path):
     """Tiny streaming chunks must not change any output (cross-chunk merge)."""
     cfg = PipelineConfig(
