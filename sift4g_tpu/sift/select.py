@@ -37,19 +37,18 @@ def extract_alignment_strings(
     names = []
     for r, rec in enumerate(records):
         names.append(rec.target_name)
-        j = rec.query_start
-        ti = rec.target_start
-        row = rows[r]
-        for mv in rec.moves:
-            if mv == MOVE_LEFT:          # target insertion: dropped
-                ti += 1
-            elif mv == MOVE_UP:          # gap in target: 'X'
-                row[j] = X_CODE
-                j += 1
-            else:                        # MOVE_DIAG: copy target letter
-                row[j] = rec.target_codes[ti]
-                j += 1
-                ti += 1
+        moves = rec.moves
+        if moves.shape[0] == 0:
+            continue
+        # vectorized MOVE replay: MOVE_LEFT (target insertion) advances only
+        # the target cursor and emits nothing; MOVE_UP leaves 'X' (the row
+        # default); MOVE_DIAG copies the target letter at its cursor
+        adv_q = moves != MOVE_LEFT
+        adv_t = moves != MOVE_UP
+        qpos = rec.query_start + np.cumsum(adv_q) - adv_q
+        tpos = rec.target_start + np.cumsum(adv_t) - adv_t
+        diag = moves == MOVE_DIAG
+        rows[r, qpos[diag]] = rec.target_codes[tpos[diag]]
     return names, rows
 
 
