@@ -35,7 +35,7 @@ from .prefilter.search import search_database
 from .sift.predict import predict_query
 from .sift.select import alignments_select, extract_alignment_strings
 from .constants import MAX_SEQUENCES
-from .utils import PhaseMetrics
+from .utils import PhaseMetrics, query_log
 
 ALIGN_CHUNK_BYTES = 1_000_000_000  # database_alignment.cpp:12
 
@@ -210,6 +210,7 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
                 names, rows = names[:n_sel], rows[:n_sel]
             all_names.append(names)
             all_rows.append(rows)
+            query_log(qi + 1, len(queries), log=log)
 
     if cfg.sub_results:
         strings = [
@@ -236,5 +237,6 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
                 cfg.sequence_identity,
                 cfg.out_path,
             )
+            query_log(qi + 1, len(queries), log=log)
     metrics.report()
     return queries

@@ -14,6 +14,22 @@ from contextlib import contextmanager
 from typing import Dict, Optional
 
 
+def query_log(part: int, total: int, log=sys.stderr) -> None:
+    """Carriage-return query progress meter (utils.cpp:52-55)."""
+    print(f"* processing queries: {part}/{total} *", end="\r", file=log)
+    if part == total:
+        print(file=log)
+
+
+def database_log(part: int, percentage: float, log=sys.stderr) -> None:
+    """Carriage-return database scan meter (utils.cpp:57-61)."""
+    print(
+        f"* processing database part {part}: {min(percentage, 100.0):.1f}/100.0% *",
+        end="\r",
+        file=log,
+    )
+
+
 class PhaseMetrics:
     """Accumulates phase -> {seconds, counters}; printable summary."""
 
