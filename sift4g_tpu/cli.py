@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="drop alignments this %% identical to the query (default: 100)")
     # compatibility no-ops (device placement is JAX's job)
     p.add_argument("-t", "--threads", type=int, default=8,
-                   help="accepted for compatibility; host parallelism is automatic")
+                   help="host threads for per-query selection/prediction fan-out (default: 8)")
     p.add_argument("--cards", default="",
                    help="accepted for compatibility; use JAX device flags instead")
     # TPU-native extras
@@ -117,6 +117,7 @@ def main(argv=None) -> int:
         sequence_identity=args.seq_id,
         align_backend=args.backend,
         timings=args.timings,
+        threads=args.threads,
     )
     run_pipeline(cfg)
     return 0

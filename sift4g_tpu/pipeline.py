@@ -40,6 +40,25 @@ from .utils import PhaseMetrics, query_log
 ALIGN_CHUNK_BYTES = 1_000_000_000  # database_alignment.cpp:12
 
 
+def _query_fanout(fn, n: int, threads: int, log) -> None:
+    """One task per query on a host thread pool (the TPU-side analogue of
+    the reference's threadPoolSubmit fan-out, select_alignments.cpp:55-65 /
+    sift_prediction.cpp:152-162).  NumPy releases the GIL in the hot math,
+    so threads give real parallelism; per-query outputs are independent."""
+    if threads <= 1 or n <= 1:
+        for qi in range(n):
+            fn(qi)
+            query_log(qi + 1, n, log=log)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    done = 0
+    with ThreadPoolExecutor(max_workers=min(threads, n)) as ex:
+        for _ in ex.map(fn, range(n)):
+            done += 1
+            query_log(done, n, log=log)
+
+
 @dataclass
 class PipelineConfig:
     query_path: str = ""
@@ -63,6 +82,7 @@ class PipelineConfig:
     align_chunk_bytes: int = ALIGN_CHUNK_BYTES
     log: object = field(default_factory=lambda: sys.stderr)
     timings: bool = False
+    threads: int = 8  # host fan-out over queries (reference -t, main.cpp:85)
 
 
 def align_database(
@@ -200,17 +220,19 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
         f"** Selecting alignments with median threshold: {cfg.median_threshold:.2f} **",
         file=log,
     )
-    all_names: List[List[str]] = []
-    all_rows: List[np.ndarray] = []
+    all_names: List[List[str]] = [None] * len(queries)
+    all_rows: List[np.ndarray] = [None] * len(queries)
+
+    def _select_one(qi: int) -> None:
+        names, rows = extract_alignment_strings(queries[qi], records[qi])
+        if rows.shape[0]:
+            n_sel = alignments_select(rows, cfg.median_threshold)
+            names, rows = names[:n_sel], rows[:n_sel]
+        all_names[qi] = names
+        all_rows[qi] = rows
+
     with metrics.phase("select"):
-        for qi, query in enumerate(queries):
-            names, rows = extract_alignment_strings(query, records[qi])
-            if rows.shape[0]:
-                n_sel = alignments_select(rows, cfg.median_threshold)
-                names, rows = names[:n_sel], rows[:n_sel]
-            all_names.append(names)
-            all_rows.append(rows)
-            query_log(qi + 1, len(queries), log=log)
+        _query_fanout(_select_one, len(queries), cfg.threads, log)
 
     if cfg.sub_results:
         strings = [
@@ -225,18 +247,19 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
         f"{float(cfg.sequence_identity):.2f}% **",
         file=log,
     )
+    def _predict_one(qi: int) -> None:
+        if all_rows[qi].shape[0] == 0:
+            return  # sift_prediction.cpp:154
+        predict_query(
+            queries[qi],
+            all_names[qi],
+            all_rows[qi],
+            cfg.subst_path,
+            cfg.sequence_identity,
+            cfg.out_path,
+        )
+
     with metrics.phase("predict"):
-        for qi, query in enumerate(queries):
-            if all_rows[qi].shape[0] == 0:
-                continue  # sift_prediction.cpp:154
-            predict_query(
-                query,
-                all_names[qi],
-                all_rows[qi],
-                cfg.subst_path,
-                cfg.sequence_identity,
-                cfg.out_path,
-            )
-            query_log(qi + 1, len(queries), log=log)
+        _query_fanout(_predict_one, len(queries), cfg.threads, log)
     metrics.report()
     return queries
