@@ -178,27 +178,33 @@ class BatchAligner:
         return self.scores_many([(query_codes, targets)])[0]
 
     def scores_many(self, items) -> List[np.ndarray]:
-        """Scores for many (query_codes, targets) pairs with ONE host fetch.
+        return self.scores_many_async(items)()
 
-        Dispatches every per-bucket kernel call asynchronously, concatenates
-        the device results, and fetches once: on remote-attached TPU
-        runtimes a synchronous fetch costs ~30 ms of pure RPC latency
-        (measured), so per-bucket fetches would dominate the align phase.
+    def scores_many_async(self, items):
+        """Dispatch scoring for many (query_codes, targets) pairs; returns a
+        zero-arg fetch closure producing List[np.ndarray].
+
+        All per-bucket kernel calls go out asynchronously and the results
+        are fetched with ONE host round trip when the closure runs: on
+        remote-attached TPU runtimes a synchronous fetch costs ~30 ms of
+        pure RPC latency (measured), and the split lets the caller overlap
+        host work (IO, packing) with device scoring.
         """
         if self.backend == "numpy":
-            return [
+            res = [
                 np.array(
                     [score_pair(q, t, self.scorer, self.mode) for t in targets],
                     dtype=np.int64,
                 )
                 for q, targets in items
             ]
+            return lambda: res
         import jax.numpy as jnp
 
         if self.backend == "pallas" and self._mesh is None:
             return self._scores_pallas_grouped(items)
 
-        pending = []   # (item_idx, chunk_idx, n_valid) per dispatched call
+        pending = []   # (item_idx, chunk_idx) per dispatched call
         devs = []
         for item_idx, (query_codes, targets) in enumerate(items):
             if len(targets) == 0:
@@ -206,20 +212,25 @@ class BatchAligner:
             for dev, chunk_idx in self._dispatch(query_codes, targets):
                 pending.append((item_idx, chunk_idx))
                 devs.append(dev)
-        out = [np.zeros(len(t), dtype=np.int64) for _, t in items]
-        if not devs:
-            return out
-        flat = np.asarray(jnp.concatenate(devs))           # single fetch
-        pos = 0
-        for (item_idx, chunk_idx), dev in zip(pending, devs):
-            n = dev.shape[0]
-            out[item_idx][chunk_idx] = flat[pos : pos + len(chunk_idx)]
-            pos += n
-        return out
 
-    def _scores_pallas_grouped(self, items) -> List[np.ndarray]:
+        def fetch() -> List[np.ndarray]:
+            out = [np.zeros(len(t), dtype=np.int64) for _, t in items]
+            if not devs:
+                return out
+            flat = np.asarray(jnp.concatenate(devs))       # single fetch
+            pos = 0
+            for (item_idx, chunk_idx), dev in zip(pending, devs):
+                n = dev.shape[0]
+                out[item_idx][chunk_idx] = flat[pos : pos + len(chunk_idx)]
+                pos += n
+            return out
+
+        return fetch
+
+    def _scores_pallas_grouped(self, items):
         """Pack every (query, target-bucket) pair into grid-of-groups Pallas
         calls — one launch per target-length bucket instead of one per pair.
+        Returns a zero-arg fetch closure (see scores_many_async).
 
         Kernel launches cost ~30 ms each through a remote-attached TPU
         runtime with no dispatch overlap (measured), so launches — not
@@ -339,17 +350,20 @@ class BatchAligner:
                 )
                 devs.append((dev, B, part))
 
-        if not devs:
+        def fetch() -> List[np.ndarray]:
+            if not devs:
+                return out
+            flat = np.asarray(jnp.concatenate([d.reshape(-1) for d, _, _ in devs]))
+            pos = 0
+            for dev, b, groups in devs:
+                g_pad = dev.shape[0]
+                for gi, (item_idx, chunk_idx) in enumerate(groups):
+                    seg = flat[pos + gi * b : pos + gi * b + len(chunk_idx)]
+                    out[item_idx][chunk_idx] = seg
+                pos += g_pad * b
             return out
-        flat = np.asarray(jnp.concatenate([d.reshape(-1) for d, _, _ in devs]))
-        pos = 0
-        for dev, b, groups in devs:
-            g_pad = dev.shape[0]
-            for gi, (item_idx, chunk_idx) in enumerate(groups):
-                seg = flat[pos + gi * b : pos + gi * b + len(chunk_idx)]
-                out[item_idx][chunk_idx] = seg
-            pos += g_pad * b
-        return out
+
+        return fetch
 
     def _dispatch(self, query_codes: np.ndarray, targets: Sequence[np.ndarray]):
         """Async per-bucket kernel dispatches; yields (device_scores, idx)."""

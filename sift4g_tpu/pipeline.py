@@ -111,13 +111,12 @@ def align_database(
     chains: List[Chain] = []
     consumed_floor = 0
     with FastaStream(database_path) as fs:
-        more = True
+        more = fs.read_part(chains, chunk_bytes)
         while True:
-            more = fs.read_part(chains, chunk_bytes)
             db_len = len(chains)
             db_end = db_len - 1
             # slice every query's candidates for this chunk, then score them
-            # all with ONE device round trip (scores_many defers the fetch)
+            # all with ONE device round trip (the fetch closure defers it)
             chunk_used: List[List[int]] = [[] for _ in queries]
             score_items = []
             active = []
@@ -138,7 +137,23 @@ def align_database(
                         "align",
                         cells=float(len(query)) * float(sum(t.shape[0] for t in targets)),
                     )
-            all_scores = aligner.scores_many(score_items)
+            fetch = aligner.scores_many_async(score_items)
+            # overlap: stream the next database part while the device scores
+            next_more = more
+            if more:
+                import threading
+
+                result = {}
+
+                def _read():
+                    result["more"] = fs.read_part(chains, chunk_bytes)
+
+                reader = threading.Thread(target=_read)
+                reader.start()
+            all_scores = fetch()
+            if more:
+                reader.join()
+                next_more = result["more"]
             for qi, scores in zip(active, all_scores):
                 query = queries[qi]
                 used = chunk_used[qi]
@@ -163,7 +178,8 @@ def align_database(
                 chains[t].codes = np.zeros(0, dtype=np.uint8)
             consumed_floor = db_len
             if not more:
-                break
+                break  # the chunk just processed was the last
+            more = next_more
     # final best-first order across chunks
     for qi in range(len(queries)):
         results[qi].sort(key=lambda r: (-r.score, r.target_idx))
