@@ -36,7 +36,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 BASELINE_GCUPS = 2.0  # assumed reference CPU build throughput (see docstring)
 
 
-def bench_grouped_pallas(groups=16, batch=1024, n=512, m=360, iters=8):
+def bench_grouped_pallas(groups=32, batch=1024, n=512, m=360, iters=8):
     import jax
     import jax.numpy as jnp
 
@@ -55,7 +55,7 @@ def bench_grouped_pallas(groups=16, batch=1024, n=512, m=360, iters=8):
     for g in range(groups):
         q_all[g * m_pad : g * m_pad + m] = rng.integers(0, 26, m)
     targets = [
-        jnp.asarray(rng.integers(0, 26, (groups, batch, n)).astype(np.int32))
+        jnp.asarray(rng.integers(0, 26, (groups, batch, n)).astype(np.int8))
         for _ in range(iters + 1)
     ]
     lens = np.full((groups, batch), n, dtype=np.int32)

@@ -316,11 +316,11 @@ class BatchAligner:
             devs.append((dev.reshape(1, b), b, [(item_idx, chunk_idx)]))
         # fixed grid size per launch: every (n_pad, B) bucket compiles ONE
         # kernel shape; trailing dummy groups (qlen 0) skip their row loop
-        G_CHUNK = 16
+        G_CHUNK = 32
         for (n_pad, B), groups in sorted(buckets.items()):
             for gpos in range(0, len(groups), G_CHUNK):
                 part = groups[gpos : gpos + G_CHUNK]
-                tg = np.full((G_CHUNK, B, n_pad), PAD_CODE, dtype=np.int32)
+                tg = np.full((G_CHUNK, B, n_pad), PAD_CODE, dtype=np.int8)
                 tl = np.zeros((G_CHUNK, B), dtype=np.int32)
                 go = np.zeros(G_CHUNK, dtype=np.int32)
                 gl = np.zeros(G_CHUNK, dtype=np.int32)

@@ -190,7 +190,9 @@ def _sw_grouped_kernel(
     B, N = h_scr.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
 
-    t = targets_ref[0]
+    # upcast int8 codes once — bit-mask i1 vectors derived from int8 hit a
+    # Mosaic relayout bug ("Non-singleton logical dimension is replicated")
+    t = targets_ref[0].astype(jnp.int32)
     bits = [(t >> k) & 1 != 0 for k in range(5)]
 
     def plane_body(c, _):
@@ -299,7 +301,9 @@ def sw_scores_pallas_grouped(
     q_codes_all: jnp.ndarray,   # (Qm,) int32 concatenated padded queries
     q_offsets: jnp.ndarray,     # (G,) int32
     q_lens: jnp.ndarray,        # (G,) int32
-    targets: jnp.ndarray,       # (G, B, N) int32
+    targets: jnp.ndarray,       # (G, B, N) int8 codes (int8 quarters the
+                                # host->device transfer, which is fresh every
+                                # database chunk)
     target_lens: jnp.ndarray,   # (G, B) int32
     matrix32: jnp.ndarray,      # (32, 32) int32
     *,
@@ -370,7 +374,7 @@ def sw_scores_pallas_grouped(
         q_offsets.astype(jnp.int32),
         q_lens.astype(jnp.int32),
         m32_flat,
-        targets.astype(jnp.int32),
+        targets.astype(jnp.int8),
         lens3,
     )
     return out[:, :, 0]
