@@ -77,7 +77,7 @@ def bench_grouped_pallas(groups=32, batch=1024, n=512, m=360, iters=8):
     return cells / best / 1e9
 
 
-def bench_xla_scan(batch=512, n=512, m=360, iters=8):
+def bench_xla_scan(batch=512, n=1024, m=1000, iters=8):
     import jax
     import jax.numpy as jnp
 
