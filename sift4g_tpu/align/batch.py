@@ -163,6 +163,7 @@ class BatchAligner:
                 mode=self.mode,
                 gap_open=self.scorer.gap_open,
                 gap_extend=self.scorer.gap_extend,
+                kernel="pallas" if self.backend == "pallas" else "xla",
             )
         return self._sharded_fns["fn"]
 

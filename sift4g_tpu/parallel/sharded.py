@@ -101,16 +101,23 @@ def make_sharded_scores(
     gap_open: int = 10,
     gap_extend: int = 1,
     axis: str = DB_AXIS,
+    kernel: str = "xla",
 ):
     """Jitted SPMD scorer: full (B,) scores with targets sharded over ``axis``.
 
     Unlike :func:`make_sharded_topk_align` this returns every score — the
     pipeline's E-value filter needs them all (database_alignment.cpp:83-86
-    filters by value threshold, not top-k).
+    filters by value threshold, not top-k).  ``kernel="pallas"`` runs the
+    Mosaic kernel on each shard (the production multi-chip path on TPU);
+    "xla" is the portable scan (CPU meshes, dryruns).
     """
+    if kernel == "pallas":
+        from ..align.pallas_sw import sw_scores_pallas as _score_fn
+    else:
+        _score_fn = align_scores
 
     def local_step(q, ql, t, tl, m32):
-        return align_scores(
+        return _score_fn(
             q, ql, t, tl, m32, mode=mode, gap_open=gap_open, gap_extend=gap_extend
         )
 

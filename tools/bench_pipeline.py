@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--max-candidates", type=int, default=5000)
     ap.add_argument("--out", default="")
+    ap.add_argument("--repeat", action="store_true",
+                    help="run twice; the second (warm) run excludes kernel compiles")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU platform (jax.config, pre-backend-init)")
     args = ap.parse_args()
@@ -43,14 +45,17 @@ def main():
         max_candidates=args.max_candidates,
         timings=True,
     )
-    t0 = time.perf_counter()
-    queries = run_pipeline(cfg)
-    dt = time.perf_counter() - t0
-    print(
-        f"pipeline: {len(queries)} queries in {dt:.2f}s "
-        f"-> {len(queries) / dt:.3f} queries/s [backend={args.backend}]",
-        file=sys.stderr,
-    )
+    runs = 2 if args.repeat else 1
+    for r in range(runs):
+        t0 = time.perf_counter()
+        queries = run_pipeline(cfg)
+        dt = time.perf_counter() - t0
+        tag = "warm" if r else "cold"
+        print(
+            f"pipeline[{tag}]: {len(queries)} queries in {dt:.2f}s "
+            f"-> {len(queries) / dt:.3f} queries/s [backend={args.backend}]",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":
