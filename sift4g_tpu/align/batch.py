@@ -200,6 +200,17 @@ class BatchAligner:
                 for q, targets in items
             ]
             return lambda: res
+        if self.backend == "native":
+            # threaded C++ DP (scores only used; paths discarded) — the
+            # fast CPU-only deployment path
+            res = [
+                np.array(
+                    [r.score for r in align_pairs_batch(q, list(t), self.scorer, self.mode)],
+                    dtype=np.int64,
+                )
+                for q, t in items
+            ]
+            return lambda: res
         import jax.numpy as jnp
 
         if self.backend == "pallas" and self._mesh is None:

@@ -57,7 +57,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accepted for compatibility; use JAX device flags instead")
     # TPU-native extras
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "xla", "numpy", "pallas"],
+                   choices=["auto", "xla", "numpy", "pallas", "native"],
                    help="alignment scoring backend (default: auto — the "
                    "Pallas kernel on TPU, the XLA scan elsewhere)")
     p.add_argument("--timings", action="store_true",

@@ -105,3 +105,12 @@ def test_chunked_alignment_matches(tmp_path):
         got = tmp_path / f"{name}.SIFTprediction"
         want = os.path.join(GOLDEN, f"{name}.SIFTprediction")
         assert filecmp.cmp(got, want, shallow=False), f"{name} differs"
+
+
+def test_native_backend_golden(tmp_path):
+    """Threaded C++ score backend (CPU deployments) reproduces goldens."""
+    run(tmp_path, "native", subst=True)
+    for name in ("LACI_ECOLI", "PURR_SALTY"):
+        got = tmp_path / f"{name}.SIFTprediction"
+        want = os.path.join(GOLDEN, f"{name}.SIFTprediction")
+        assert filecmp.cmp(got, want, shallow=False), f"{name} differs"
