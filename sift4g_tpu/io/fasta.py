@@ -24,6 +24,7 @@ shared library is built; this module falls back to pure Python otherwise.
 from __future__ import annotations
 
 import io
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -165,8 +166,132 @@ class NativeFastaStream:
         return more
 
 
-def FastaStream(path: str, buffer_size: int = 1 << 22):
-    """Open a streaming FASTA reader — native when available."""
+class CachedFastaStream:
+    """Streams parts from a binary parse cache (.s4gc) — the analogue of
+    swsharp's serialized FASTA dump (SURVEY.md §2.2: readFastaChainsPart's
+    ``serialized`` flag memoizes parsing next to the input).
+
+    The cache holds packed codes + offsets + newline-joined names; parts
+    honor the same residue-budget boundary semantics as the parsers (a part
+    ends with the sequence that exhausts the budget).
+    """
+
+    MAGIC = b"S4GC0001"
+
+    def __init__(self, path: str):
+        with open(path, "rb") as fh:
+            if fh.read(8) != self.MAGIC:
+                raise ValueError("bad cache magic")
+            self._codes = np.load(fh, allow_pickle=False)
+            self._offsets = np.load(fh, allow_pickle=False)
+            names_blob = np.load(fh, allow_pickle=False)
+        self._names = bytes(names_blob).decode("utf-8").split("\n") if names_blob.size else []
+        n = self._offsets.shape[0] - 1
+        if len(self._names) < n:  # all-empty-name edge: join/split collapses
+            self._names += [""] * (n - len(self._names))
+        self._pos = 0
+
+    @classmethod
+    def write_cache(cls, cache_path: str, codes, offsets, names) -> None:
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(cls.MAGIC)
+            np.save(fh, codes)
+            np.save(fh, offsets)
+            blob = "\n".join(names).encode("utf-8")
+            np.save(fh, np.frombuffer(blob, dtype=np.uint8))
+        os.replace(tmp, cache_path)
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def read_part_arrays(self, max_residues: int):
+        n = self._offsets.shape[0] - 1
+        start = self._pos
+        budget = max_residues
+        i = start
+        while i < n and budget > 0:
+            budget -= int(self._offsets[i + 1] - self._offsets[i])
+            i += 1
+        self._pos = i
+        base = self._offsets[start]
+        codes = self._codes[base : self._offsets[i]]
+        offsets = (self._offsets[start : i + 1] - base).astype(np.int64)
+        names = self._names[start:i]
+        return i < n, codes, offsets, names
+
+    def read_part(self, chains: List[Chain], max_bytes: int) -> bool:
+        more, codes, offsets, names = self.read_part_arrays(max_bytes)
+        for k, name in enumerate(names):
+            chains.append(
+                Chain(name=name, codes=codes[offsets[k] : offsets[k + 1]].copy())
+            )
+        return more
+
+
+def _cache_path(path: str) -> str:
+    return path + ".s4gc"
+
+
+def build_fasta_cache(path: str) -> str:
+    """Parse once and write the binary cache next to the input; returns the
+    cache path.  Uses the native parser when available."""
+    parts_codes = []
+    parts_names: List[str] = []
+    lengths = []
+    from .. import native as _native
+
+    lib = _native.load()
+    stream = (
+        NativeFastaStream(path, lib=lib) if lib is not None else PyFastaStream(path)
+    )
+    with stream as fs:
+        if hasattr(fs, "read_part_arrays"):
+            more = True
+            while more:
+                more, codes, offsets, names = fs.read_part_arrays(1 << 28)
+                parts_codes.append(codes)
+                parts_names.extend(names)
+                lengths.extend(np.diff(offsets).tolist())
+        else:
+            chains: List[Chain] = []
+            while fs.read_part(chains, 1 << 28):
+                pass
+            parts_codes = [c.codes for c in chains]
+            parts_names = [c.name for c in chains]
+            lengths = [len(c) for c in chains]
+    codes = np.concatenate(parts_codes) if parts_codes else np.zeros(0, np.uint8)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    cp = _cache_path(path)
+    CachedFastaStream.write_cache(cp, codes, offsets, parts_names)
+    return cp
+
+
+def FastaStream(path: str, buffer_size: int = 1 << 22, use_cache: bool = True):
+    """Open a streaming FASTA reader.
+
+    Preference order: fresh binary parse cache (one-time cost amortized —
+    the pipeline streams the database twice per run, search then align) >
+    native C++ parser > pure Python.
+    """
+    if use_cache and not os.environ.get("SIFT4G_TPU_NO_FASTA_CACHE"):
+        cp = _cache_path(path)
+        try:
+            if not (
+                os.path.exists(cp)
+                and os.path.getmtime(cp) >= os.path.getmtime(path)
+            ):
+                build_fasta_cache(path)
+            return CachedFastaStream(cp)
+        except (OSError, ValueError):
+            pass  # unwritable directory / corrupt cache: stream directly
     from .. import native as _native
 
     lib = _native.load()

@@ -122,7 +122,7 @@ def _search_database_native(
     engine, no per-sequence Python objects (native/search.cpp)."""
     import ctypes
 
-    from ..io.fasta import NativeFastaStream
+    from ..io.fasta import FastaStream
 
     qhash = QueryKmerHash([q.codes for q in queries], kmer_length)
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -145,7 +145,9 @@ def _search_database_native(
     total_cells = 0
     consumed = 0
     try:
-        with NativeFastaStream(database_path, lib=lib) as fs:
+        # the factory prefers the binary parse cache, then the C++ parser;
+        # both expose the zero-object read_part_arrays fast path
+        with FastaStream(database_path) as fs:
             more = True
             part = 1
             while more:
