@@ -263,21 +263,19 @@ class BatchAligner:
             b = planes_budget // n_pad // 256 * 256
             return int(max(256, min(4096, b)))
 
-        # concatenated padded query codes; per-item offset and length
-        q_offsets = []
+        # padded query codes per item; every launch builds its OWN small
+        # concatenated buffer (<= G_CHUNK distinct queries) — the buffer is
+        # scalar-prefetched into SMEM, so it must not scale with the total
+        # query count of the call
         q_lens = []
         q_chunks = []
-        off = 0
         for query_codes, _ in items:
             m = query_codes.shape[0]
             m_pad = _round_up(max(m, 1), self.q_bucket)
             qa = np.full(m_pad, PAD_CODE, dtype=np.int32)
             qa[:m] = query_codes
             q_chunks.append(qa)
-            q_offsets.append(off)
             q_lens.append(m)
-            off += m_pad
-        q_all = np.concatenate(q_chunks) if q_chunks else np.zeros(0, np.int32)
 
         # bucket every target by its padded length, then chunk each
         # per-query length-bucket into groups of that bucket's batch width
@@ -304,7 +302,6 @@ class BatchAligner:
                     buckets.setdefault((n_pad, bcap), []).append((item_idx, chunk_idx))
 
         matrix32 = self._matrix32_dev()
-        q_all_dev = jnp.asarray(q_all)
         devs = []      # (dev_scores (G_pad, B), B, groups)
         for item_idx, chunk_idx, n_pad in xla_fallback:
             query_codes, targets = items[item_idx]
@@ -336,19 +333,35 @@ class BatchAligner:
                 tl = np.zeros((G_CHUNK, B), dtype=np.int32)
                 go = np.zeros(G_CHUNK, dtype=np.int32)
                 gl = np.zeros(G_CHUNK, dtype=np.int32)
+                # per-launch query buffer: only the <= G_CHUNK distinct
+                # queries of this launch, ladder-padded so its (SMEM) shape
+                # does not vary per launch
+                local_off = {}
+                local_parts = []
+                off = 0
                 for gi, (item_idx, chunk_idx) in enumerate(part):
                     _, targets = items[item_idx]
-                    go[gi] = q_offsets[item_idx]
+                    if item_idx not in local_off:
+                        local_off[item_idx] = off
+                        local_parts.append(q_chunks[item_idx])
+                        off += q_chunks[item_idx].shape[0]
+                    go[gi] = local_off[item_idx]
                     gl[gi] = q_lens[item_idx]
                     for r, i in enumerate(chunk_idx):
                         t = targets[i]
                         tg[gi, r, : t.shape[0]] = t
                         tl[gi, r] = t.shape[0]
+                qa_pad = _length_rung(max(off, 1), 512)
+                q_local = np.full(qa_pad, PAD_CODE, dtype=np.int32)
+                if local_parts:
+                    q_local[:off] = np.concatenate(local_parts)
                 # static int16 gate: ladder-bucketed query-length bound (a
                 # distinct value would force a recompile) + matrix max
-                max_qlen = _length_rung(max(q_lens) if q_lens else 1, self.q_bucket)
+                max_qlen = _length_rung(
+                    max((q_lens[ii] for ii, _ in part), default=1), self.q_bucket
+                )
                 dev = sw_scores_pallas_grouped(
-                    q_all_dev,
+                    jnp.asarray(q_local),
                     jnp.asarray(go),
                     jnp.asarray(gl),
                     jnp.asarray(tg),
