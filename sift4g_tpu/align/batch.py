@@ -306,6 +306,34 @@ class BatchAligner:
         for item_idx, chunk_idx, n_pad in xla_fallback:
             query_codes, targets = items[item_idx]
             b = self.batch
+            if q_lens[item_idx] <= 4096:
+                # long-target chunked Mosaic kernel (column carries)
+                from .pallas_sw import sw_scores_pallas_grouped_long
+
+                n512 = _length_rung(n_pad, 512)
+                tg = np.full((1, b, n512), PAD_CODE, dtype=np.int8)
+                tl = np.zeros((1, b), dtype=np.int32)
+                for r, i in enumerate(chunk_idx):
+                    t = targets[i]
+                    tg[0, r, : t.shape[0]] = t
+                    tl[0, r] = t.shape[0]
+                m_cap = _length_rung(q_lens[item_idx], 512)
+                dev = sw_scores_pallas_grouped_long(
+                    jnp.asarray(q_chunks[item_idx]),
+                    jnp.zeros(1, jnp.int32),
+                    jnp.asarray(np.array([q_lens[item_idx]], np.int32)),
+                    jnp.asarray(tg),
+                    jnp.asarray(tl),
+                    matrix32,
+                    mode=self.mode,
+                    gap_open=self.scorer.gap_open,
+                    gap_extend=self.scorer.gap_extend,
+                    n_chunk=512,
+                    m_cap=m_cap,
+                )
+                devs.append((dev, b, [(item_idx, chunk_idx)]))
+                continue
+            # extreme query lengths: portable XLA scan
             tc = np.full((b, n_pad), PAD_CODE, dtype=np.int32)
             tl = np.zeros(b, dtype=np.int32)
             for r, i in enumerate(chunk_idx):

@@ -288,6 +288,216 @@ def _sw_grouped_kernel(
     out_ref[0] = out
 
 
+def _sw_grouped_long_kernel(
+    q_ref,        # SMEM (Qm,) i32
+    qoff_ref,     # SMEM (G,) i32
+    qlen_ref,     # SMEM (G,) i32
+    m32_ref,      # SMEM (1024,) i32
+    targets_ref,  # VMEM (1, B, Nc) i32 — this (group, column-chunk) block
+    lens_ref,     # VMEM (1, B, 1) i32 — absolute target lengths
+    out_ref,      # VMEM (1, B, 1) i32 — accumulated across column chunks
+    planes_scr,   # VMEM (26, B, Nc) int8
+    h_scr,        # VMEM (B, Nc) i32
+    f_scr,        # VMEM (B, Nc) i32
+    best_scr,     # VMEM (B, Nc) i32
+    edge_h_scr,   # VMEM (2, M1, B) i32 — per-row H at the chunk's last column
+    edge_p_scr,   # VMEM (2, M1, B) i32 — per-row decayed-prefix-max carry
+    *,
+    mode: str,
+    go: int,
+    ge: int,
+):
+    """Long-target variant: the column axis is processed in VMEM-sized
+    chunks with per-row carries between chunks — H at the chunk edge (the
+    next chunk's first-column diagonal) and the decayed-prefix-max
+    accumulator (the E term's absolute-column prefix), double-buffered by
+    chunk parity.  F flows only downward and needs no cross-chunk carry.
+    Grid = (G, n_chunks), last axis fastest, so each group's chunks run
+    left to right."""
+    g = pl.program_id(0)
+    cidx = pl.program_id(1)
+    B, Nc = h_scr.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, Nc), 1)
+    c0 = cidx * Nc
+    col_abs = col + c0
+
+    cur = cidx % 2
+    prev = (cidx + 1) % 2
+
+    t = targets_ref[0].astype(jnp.int32)
+    bits = [(t >> k) & 1 != 0 for k in range(5)]
+
+    def plane_body(c, _):
+        base = c * 32
+        w = [
+            jnp.where(bits[0], m32_ref[base + 2 * d + 1], m32_ref[base + 2 * d])
+            for d in range(16)
+        ]
+        for lvl in range(1, 5):
+            w = [jnp.where(bits[lvl], w[2 * i + 1], w[2 * i]) for i in range(len(w) // 2)]
+        planes_scr[c] = w[0].astype(jnp.int8)
+        return 0
+
+    jax.lax.fori_loop(0, 26, plane_body, 0, unroll=False)
+
+    free_top = mode in ("SW", "HW", "OV")
+    free_left = mode in ("SW", "OV")
+    local = mode == "SW"
+
+    if free_top:
+        h_scr[:] = jnp.zeros((B, Nc), jnp.int32)
+        top_edge = jnp.int32(0)
+    else:  # NW: H[0, j] = -(go + (j-1) ge), absolute j
+        h_scr[:] = -(go + col_abs * ge)
+        top_edge = -(go + (c0 + Nc - 1) * ge)
+    f_scr[:] = jnp.full((B, Nc), NEG, jnp.int32)
+    best_scr[:] = jnp.full((B, Nc), NEG if not local else 0, jnp.int32)
+    # boundary-row (i1 = 0) edge for the NEXT chunk's row-1 diagonal
+    edge_h_scr[cur, 0] = jnp.full((B,), top_edge, jnp.int32)
+
+    n_rounds = max(1, (Nc - 1).bit_length())
+    jge1 = (col_abs + 1) * ge
+    goge = go + col_abs * ge
+    qoff = qoff_ref[g]
+    lens01 = lens_ref[0]                                   # (B, 1)
+
+    def row_body(i, _):
+        i1 = i + 1
+        c = q_ref[qoff + i]
+        s = planes_scr[c].astype(jnp.int32)
+        hp = h_scr[:]
+        fp = f_scr[:]
+        if free_left:
+            left0 = jnp.int32(0)
+            left0_prev = jnp.int32(0)
+        else:
+            left0 = -(go + i * ge)
+            left0_prev = jnp.where(i == 0, 0, -(go + (i - 1) * ge))
+        f = jnp.maximum(hp - go, fp - ge)
+        diag = pltpu.roll(hp, 1, axis=1)
+        # first local column's diagonal: previous chunk's edge H of row i1-1
+        # (chunk 0 uses the analytic left boundary)
+        diag0 = jnp.where(
+            cidx == 0, jnp.full((B,), left0_prev, jnp.int32), edge_h_scr[prev, i1 - 1]
+        )
+        diag = jnp.where(col == 0, diag0[:, None], diag)
+        g_ = jnp.maximum(diag + s, f)
+        if local:
+            g_ = jnp.maximum(g_, 0)
+        cmax = g_ + jge1
+        for r in range(n_rounds):
+            k = 1 << r
+            cmax = jnp.maximum(cmax, jnp.where(col < k, NEG, pltpu.roll(cmax, k, axis=1)))
+        cm1 = jnp.where(col < 1, NEG, pltpu.roll(cmax, 1, axis=1))
+        # incoming decayed-prefix carry: X_0 analytically at chunk 0, the
+        # stored absolute-column accumulator afterwards
+        carry_b = jnp.where(
+            cidx == 0, jnp.full((B,), left0, jnp.int32), edge_p_scr[prev, i1]
+        )
+        e = jnp.maximum(carry_b[:, None], cm1) - goge
+        h = jnp.maximum(g_, e)
+        h_scr[:] = h
+        f_scr[:] = f
+        edge_h_scr[cur, i1] = h[:, Nc - 1]
+        edge_p_scr[cur, i1] = jnp.maximum(carry_b, cmax[:, Nc - 1])
+        if local:
+            best_scr[:] = jnp.maximum(best_scr[:], h)
+        elif mode == "OV":
+            best_scr[:] = jnp.maximum(
+                best_scr[:], jnp.where(col_abs == lens01 - 1, h, NEG)
+            )
+        return 0
+
+    jax.lax.fori_loop(0, qlen_ref[g], row_body, 0, unroll=False)
+
+    col_valid = col_abs < lens01
+    hfin = h_scr[:]
+    bestf = best_scr[:]
+    if mode == "SW":
+        out = jnp.max(jnp.where(col_valid, bestf, 0), axis=1, keepdims=True)
+    elif mode == "NW":
+        out = jnp.max(jnp.where(col_abs == lens01 - 1, hfin, NEG), axis=1, keepdims=True)
+    elif mode == "HW":
+        out = jnp.max(jnp.where(col_valid, hfin, NEG), axis=1, keepdims=True)
+    else:  # OV
+        row_best = jnp.max(jnp.where(col_valid, hfin, NEG), axis=1, keepdims=True)
+        col_best = jnp.max(bestf, axis=1, keepdims=True)
+        out = jnp.maximum(jnp.maximum(row_best, col_best), 0)
+
+    @pl.when(cidx == 0)
+    def _():
+        out_ref[0] = out
+
+    @pl.when(cidx > 0)
+    def _():
+        out_ref[0] = jnp.maximum(out_ref[0], out)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mode", "gap_open", "gap_extend", "n_chunk", "m_cap"),
+)
+def sw_scores_pallas_grouped_long(
+    q_codes_all: jnp.ndarray,   # (Qm,) int32
+    q_offsets: jnp.ndarray,     # (G,) int32
+    q_lens: jnp.ndarray,        # (G,) int32
+    targets: jnp.ndarray,       # (G, B, N) int8, N a multiple of n_chunk
+    target_lens: jnp.ndarray,   # (G, B) int32
+    matrix32: jnp.ndarray,      # (32, 32) int32
+    *,
+    mode: str = "SW",
+    gap_open: int = 10,
+    gap_extend: int = 1,
+    n_chunk: int = 512,
+    m_cap: int = 2048,
+) -> jnp.ndarray:
+    """Long-target grouped scores: columns processed in n_chunk slices with
+    per-row carries.  ``m_cap`` bounds query length (edge scratch rows)."""
+    G, B, N = targets.shape
+    assert N % n_chunk == 0, "N must be a multiple of n_chunk"
+    n_chunks = N // n_chunk
+    m32_flat = jnp.clip(matrix32, -128, 127).astype(jnp.int32).reshape(32 * 32)
+    lens3 = target_lens.astype(jnp.int32).reshape(G, B, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(G, n_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, B, n_chunk), lambda g, c, *_: (g, 0, c), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, B, 1), lambda g, c, *_: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, B, 1), lambda g, c, *_: (g, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((26, B, n_chunk), jnp.int8),
+            pltpu.VMEM((B, n_chunk), jnp.int32),
+            pltpu.VMEM((B, n_chunk), jnp.int32),
+            pltpu.VMEM((B, n_chunk), jnp.int32),
+            pltpu.VMEM((2, m_cap + 1, B), jnp.int32),
+            pltpu.VMEM((2, m_cap + 1, B), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_sw_grouped_long_kernel, mode=mode, go=gap_open, ge=gap_extend),
+        out_shape=jax.ShapeDtypeStruct((G, B, 1), jnp.int32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        q_codes_all.astype(jnp.int32),
+        q_offsets.astype(jnp.int32),
+        q_lens.astype(jnp.int32),
+        m32_flat,
+        targets.astype(jnp.int8),
+        lens3,
+    )
+    return out[:, :, 0]
+
+
 NEG16 = -16000
 
 

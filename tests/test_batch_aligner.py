@@ -23,6 +23,24 @@ def _items(rng, n_queries=3, per_query=(0, 5, 23)):
     return items
 
 
+def test_long_targets_route_through_chunked_kernel():
+    """Targets past the VMEM planes budget use the column-chunked kernel."""
+    rng = np.random.default_rng(5)
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    q = rng.integers(0, 26, 70).astype(np.uint8)
+    targets = [
+        rng.integers(0, 26, 2500).astype(np.uint8),   # long: chunked kernel
+        rng.integers(0, 26, 3100).astype(np.uint8),   # long
+        rng.integers(0, 26, 140).astype(np.uint8),    # short: grouped kernel
+    ]
+    ref = BatchAligner(scorer, backend="numpy").scores_many([(q, targets)])[0]
+    with pltpu.force_tpu_interpret_mode():
+        al = BatchAligner(scorer, backend="pallas", batch=8)
+        al._mesh = None
+        got = al.scores_many([(q, targets)])[0]
+    np.testing.assert_array_equal(got, ref)
+
+
 @pytest.mark.parametrize("mode", ["SW", "NW"])
 def test_backends_agree_scores_many(mode):
     rng = np.random.default_rng(77)

@@ -1,0 +1,54 @@
+"""Chunked long-target kernel == XLA scan (interpret mode), all modes."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+from jax.experimental.pallas import tpu as pltpu
+
+from sift4g_tpu.align.xla import PAD_CODE, _extend_matrix, align_scores_kernel
+from sift4g_tpu.core.scorers import create_scorer
+
+
+@pytest.mark.parametrize("mode", ["SW", "NW", "HW", "OV"])
+def test_long_kernel_matches_xla(mode):
+    from sift4g_tpu.align.pallas_sw import sw_scores_pallas_grouped_long
+
+    rng = np.random.default_rng(29)
+    G, B, N, n_chunk, m_pad = 2, 8, 512, 128, 64
+    qlens = np.array([49, 33], dtype=np.int32)
+    q_all = np.full(G * m_pad, PAD_CODE, dtype=np.int32)
+    q_off = (np.arange(G) * m_pad).astype(np.int32)
+    for g in range(G):
+        q_all[g * m_pad : g * m_pad + qlens[g]] = rng.integers(0, 26, qlens[g])
+    targets = np.full((G, B, N), PAD_CODE, dtype=np.int32)
+    lens = rng.integers(1, N + 1, size=(G, B)).astype(np.int32)
+    lens[0, 0] = N        # exactly full
+    lens[0, 1] = n_chunk  # exactly one chunk
+    lens[0, 2] = 1
+    for g in range(G):
+        for b in range(B):
+            targets[g, b, : lens[g, b]] = rng.integers(0, 26, lens[g, b])
+
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    m32 = _extend_matrix(scorer.matrix)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            sw_scores_pallas_grouped_long(
+                q_all, q_off, qlens, targets, lens, m32,
+                mode=mode, n_chunk=n_chunk, m_cap=m_pad,
+            )
+        )
+    for g in range(G):
+        ref = np.asarray(
+            align_scores_kernel(
+                q_all[g * m_pad : (g + 1) * m_pad],
+                np.int32(qlens[g]),
+                targets[g],
+                lens[g],
+                m32,
+                mode=mode,
+            )
+        )
+        np.testing.assert_array_equal(got[g], ref, err_msg=f"group {g} mode {mode}")
