@@ -114,3 +114,20 @@ def test_native_backend_golden(tmp_path):
         got = tmp_path / f"{name}.SIFTprediction"
         want = os.path.join(GOLDEN, f"{name}.SIFTprediction")
         assert filecmp.cmp(got, want, shallow=False), f"{name} differs"
+
+
+@pytest.mark.parametrize("algorithm", ["NW", "HW", "OV"])
+def test_other_algorithms_run(tmp_path, algorithm):
+    """Non-default aligner modes run end-to-end and produce predictions."""
+    cfg = PipelineConfig(
+        query_path=os.path.join(TEST_FILES, "query.fasta"),
+        database_path=os.path.join(TEST_FILES, "sample_protein_database.fa"),
+        subst_path=TEST_FILES,
+        out_path=str(tmp_path),
+        align_backend="numpy",
+        algorithm=algorithm,
+        log=open(os.devnull, "w"),
+    )
+    run_pipeline(cfg)
+    out = tmp_path / "LACI_ECOLI.SIFTprediction"
+    assert out.exists() and out.read_text().count("\t") >= 3
