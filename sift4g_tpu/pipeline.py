@@ -137,7 +137,12 @@ def align_database(
                         "align",
                         cells=float(len(query)) * float(sum(t.shape[0] for t in targets)),
                     )
+            import time as _time
+
+            t_disp = _time.perf_counter()
             fetch = aligner.scores_many_async(score_items)
+            if metrics is not None:
+                metrics.add("align.dispatch", seconds=_time.perf_counter() - t_disp)
             # overlap: stream the next database part while the device scores
             next_more = more
             if more:
@@ -150,10 +155,14 @@ def align_database(
 
                 reader = threading.Thread(target=_read)
                 reader.start()
+            t_fetch = _time.perf_counter()
             all_scores = fetch()
+            if metrics is not None:
+                metrics.add("align.fetch", seconds=_time.perf_counter() - t_fetch)
             if more:
                 reader.join()
                 next_more = result["more"]
+            t_keep = _time.perf_counter()
             for qi, scores in zip(active, all_scores):
                 query = queries[qi]
                 used = chunk_used[qi]
@@ -173,6 +182,8 @@ def align_database(
                 if len(results[qi]) > max_alignments:
                     results[qi].sort(key=lambda r: (-r.score, r.target_idx))
                     del results[qi][max_alignments:]
+            if metrics is not None:
+                metrics.add("align.traceback", seconds=_time.perf_counter() - t_keep)
             # free residues of the chunk below any outstanding candidate use
             for t in range(consumed_floor, db_len):
                 chains[t].codes = np.zeros(0, dtype=np.uint8)
