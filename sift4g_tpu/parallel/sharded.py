@@ -22,7 +22,7 @@ no host round trips between scoring and merging.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Optional
 
 import jax

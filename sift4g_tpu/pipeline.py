@@ -34,7 +34,7 @@ from .io.writers import (
 from .prefilter.search import search_database
 from .sift.predict import predict_query
 from .sift.select import alignments_select, extract_alignment_strings
-from .constants import MAX_SEQUENCES
+
 from .utils import PhaseMetrics, query_log
 
 ALIGN_CHUNK_BYTES = 1_000_000_000  # database_alignment.cpp:12

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..constants import AA_FREQUENCY  # noqa: F401 (re-exported context)
+
 from ..constants import DIRI_ALPHA, DIRI_ALTOT, DIRI_Q, RANK_MATRIX, VALID_AA_MASK
 
 X_CODE = ord("X") - ord("A")
