@@ -32,13 +32,22 @@ struct AlignResult {
   std::vector<uint8_t> moves;
 };
 
+struct DpBuffers {
+  std::vector<int32_t> H, E, F;
+};
+
 void align_one(const uint8_t* q, int m, const uint8_t* t, int n,
                const int32_t* mat /* 26x26 */, int go, int ge, int mode,
-               AlignResult* out) {
+               AlignResult* out, DpBuffers* buf) {
   const int w = n + 1;
-  std::vector<int32_t> H(static_cast<size_t>(m + 1) * w, NEG);
-  std::vector<int32_t> E(static_cast<size_t>(m + 1) * w, NEG);
-  std::vector<int32_t> F(static_cast<size_t>(m + 1) * w, NEG);
+  const size_t cells = static_cast<size_t>(m + 1) * w;
+  // reuse thread-local buffers across pairs (assign keeps capacity)
+  std::vector<int32_t>& H = buf->H;
+  std::vector<int32_t>& E = buf->E;
+  std::vector<int32_t>& F = buf->F;
+  H.assign(cells, NEG);
+  E.assign(cells, NEG);
+  F.assign(cells, NEG);
 
   H[0] = 0;
   for (int j = 1; j <= n; ++j) {
@@ -182,13 +191,14 @@ int sift4g_align_batch(const uint8_t* q, int32_t qlen, const uint8_t* targets,
 
   std::atomic<int32_t> next{0};
   auto worker = [&]() {
+    DpBuffers buf;
     for (;;) {
       int32_t idx = next.fetch_add(1);
       if (idx >= n_targets) return;
       const uint8_t* t = targets + offsets[idx];
       int n = static_cast<int>(offsets[idx + 1] - offsets[idx]);
       align_one(q, qlen, t, n, matrix26, gap_open, gap_extend, mode,
-                &results[idx]);
+                &results[idx], &buf);
     }
   };
   std::vector<std::thread> threads;
