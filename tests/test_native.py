@@ -104,3 +104,61 @@ def test_native_search_matches_numpy(tmp_path):
             assert got_cells == want_cells
             for a, b in zip(got_idx, want_idx):
                 np.testing.assert_array_equal(a, b), (kmer, max_cand, chunk)
+
+
+def test_native_search_thread_count_independent(tmp_path):
+    """Candidate sets must not depend on the thread count (merge rule)."""
+    from sift4g_tpu.prefilter.kmer import QueryKmerHash
+    import ctypes
+
+    rng = np.random.default_rng(41)
+    recs = []
+    for i in range(400):
+        seq = "".join(chr(ord("A") + c) for c in rng.integers(0, 20, rng.integers(30, 200)))
+        recs.append(f">t{i}\n{seq}\n")
+    path = tmp_path / "db.fa"
+    path.write_text("".join(recs))
+    queries = [
+        Chain(name=f"q{i}", codes=rng.integers(0, 20, 120).astype(np.uint8))
+        for i in range(4)
+    ]
+    from sift4g_tpu.prefilter import search as S
+    import os as _os
+
+    devnull = open(_os.devnull, "w")
+    results = []
+    for n_threads in (1, 8):
+        qhash = QueryKmerHash([q.codes for q in queries], 5)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        starts = np.ascontiguousarray(qhash.starts)
+        hq = np.ascontiguousarray(qhash.hit_query)
+        hp = np.ascontiguousarray(qhash.hit_pos)
+        ctx = lib.sift4g_search_create(
+            len(queries), 30, 5, starts.ctypes.data_as(i64p), starts.shape[0],
+            hq.ctypes.data_as(i32p), hp.ctypes.data_as(i32p), hq.shape[0], n_threads,
+        )
+        try:
+            from sift4g_tpu.io.fasta import NativeFastaStream
+
+            with NativeFastaStream(str(path), lib=lib) as fs:
+                more = True
+                consumed = 0
+                while more:
+                    more, codes, offsets, _ = fs.read_part_arrays(3000)
+                    n_seq = offsets.shape[0] - 1
+                    if n_seq:
+                        lib.sift4g_search_chunk(
+                            ctx, codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                            offsets.ctypes.data_as(i64p), n_seq, consumed,
+                        )
+                        consumed += n_seq
+            counts = np.empty(len(queries), dtype=np.int64)
+            lib.sift4g_search_counts(ctx, counts.ctypes.data_as(i64p))
+            flat = np.empty(max(int(counts.sum()), 1), dtype=np.int64)
+            lib.sift4g_search_collect(ctx, flat.ctypes.data_as(i64p))
+            results.append((counts.copy(), flat.copy()))
+        finally:
+            lib.sift4g_search_destroy(ctx)
+    np.testing.assert_array_equal(results[0][0], results[1][0])
+    np.testing.assert_array_equal(results[0][1], results[1][1])
