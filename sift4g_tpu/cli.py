@@ -21,7 +21,10 @@ def build_parser() -> argparse.ArgumentParser:
         description="SIFT4G on TPU: predicts whether amino-acid substitutions "
         "are TOLERATED or DELETERIOUS.",
     )
-    p.add_argument("-q", "--query", required=True, help="input fasta query file")
+    p.add_argument("-q", "--query", required=True,
+                   help="input fasta query file, or a directory of .fa/.fasta "
+                   "files processed sequentially in one warm process "
+                   "(amortizes kernel compiles across jobs)")
     p.add_argument("-d", "--database", required=True, help="input fasta database file")
     p.add_argument("-g", "--gap-open", type=int, default=10,
                    help="gap opening penalty (default: 10)")
@@ -76,7 +79,17 @@ def main(argv=None) -> int:
         print(f"error: {msg}", file=sys.stderr)
         return -1
 
-    if not os.path.isfile(args.query):
+    if os.path.isdir(args.query):
+        query_files = sorted(
+            os.path.join(args.query, f)
+            for f in os.listdir(args.query)
+            if f.endswith((".fa", ".fasta")) and not f.endswith(".s4gc")
+        )
+        if not query_files:
+            return fail(f"no .fa/.fasta files in directory '{args.query}'")
+    elif os.path.isfile(args.query):
+        query_files = [args.query]
+    else:
         return fail(f"invalid query file path '{args.query}'")
     if not os.path.isfile(args.database):
         return fail(f"invalid database file path '{args.database}'")
@@ -98,8 +111,16 @@ def main(argv=None) -> int:
     except ValueError as exc:
         return fail(str(exc))
 
+    for query_path in query_files:
+        if len(query_files) > 1:
+            print(f"** Processing query file: {query_path} **", file=sys.stderr)
+        _run_one(args, query_path)
+    return 0
+
+
+def _run_one(args, query_path: str) -> None:
     cfg = PipelineConfig(
-        query_path=args.query,
+        query_path=query_path,
         database_path=args.database,
         kmer_length=args.kmer_length,
         max_candidates=args.max_candidates,
@@ -120,7 +141,6 @@ def main(argv=None) -> int:
         threads=args.threads,
     )
     run_pipeline(cfg)
-    return 0
 
 
 if __name__ == "__main__":
