@@ -153,12 +153,12 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
         try:
-            gcups = _with_deadline(360, bench_grouped_pallas)
+            gcups = _with_deadline(480, bench_grouped_pallas)
             metric = "sw_score_gcups[pallas-grouped]"
         except Exception as exc:
             print(f"pallas bench failed ({exc}); falling back to xla", file=sys.stderr)
             try:
-                gcups = _with_deadline(180, bench_xla_scan)
+                gcups = _with_deadline(60, bench_xla_scan)
                 metric = "sw_score_gcups[xla]"
             except Exception as exc2:
                 print(f"xla bench failed ({exc2}); native CPU DP", file=sys.stderr)
