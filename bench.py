@@ -36,7 +36,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 BASELINE_GCUPS = 2.0  # assumed reference CPU build throughput (see docstring)
 
 
-def bench_grouped_pallas(groups=32, batch=1024, n=512, m=360, iters=8):
+def bench_grouped_pallas(groups=64, batch=1024, n=512, m=360, iters=6):
     import jax
     import jax.numpy as jnp
 

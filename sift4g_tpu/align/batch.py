@@ -351,10 +351,12 @@ class BatchAligner:
                 gap_extend=self.scorer.gap_extend,
             )
             devs.append((dev.reshape(1, b), b, [(item_idx, chunk_idx)]))
-        # fixed grid size per launch: every (n_pad, B) bucket compiles ONE
-        # kernel shape; trailing dummy groups (qlen 0) skip their row loop
-        G_CHUNK = 32
+        # two fixed grid sizes per bucket shape (small jobs avoid padding a
+        # 64-group launch; big jobs amortize the ~30 ms launch RPC over 64
+        # groups = 12 G cells); trailing dummy groups (qlen 0) skip their
+        # row loop
         for (n_pad, B), groups in sorted(buckets.items()):
+            G_CHUNK = 8 if len(groups) <= 8 else 64
             for gpos in range(0, len(groups), G_CHUNK):
                 part = groups[gpos : gpos + G_CHUNK]
                 tg = np.full((G_CHUNK, B, n_pad), PAD_CODE, dtype=np.int8)
