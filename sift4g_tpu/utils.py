@@ -63,7 +63,11 @@ class PhaseMetrics:
     def report(self) -> None:
         if not self.enabled:
             return
-        total = sum(d.get("seconds", 0.0) for d in self.phases.values())
+        total = sum(
+            d.get("seconds", 0.0)
+            for name, d in self.phases.items()
+            if "." not in name  # sub-timers (e.g. align.fetch) nest in a phase
+        )
         print("** Phase timings **", file=self.log)
         for name, d in self.phases.items():
             parts = [f"{d.get('seconds', 0.0):8.3f}s"]
