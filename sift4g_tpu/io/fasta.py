@@ -176,13 +176,22 @@ class CachedFastaStream:
     ends with the sequence that exhausts the budget).
     """
 
-    MAGIC = b"S4GC0001"
+    MAGIC = b"S4GC0002"
 
     def __init__(self, path: str):
+        # the codes payload is memory-mapped (np.save writes a plain .npy
+        # record at a computable offset), so a UniRef90-scale cache costs no
+        # resident memory until its chunks are touched
         with open(path, "rb") as fh:
             if fh.read(8) != self.MAGIC:
                 raise ValueError("bad cache magic")
-            self._codes = np.load(fh, allow_pickle=False)
+            version = np.lib.format.read_magic(fh)
+            shape, _fortran, dtype = np.lib.format._read_array_header(fh, version)
+            data_off = fh.tell()
+            self._codes = np.memmap(
+                path, dtype=dtype, mode="r", offset=data_off, shape=shape
+            )
+            fh.seek(data_off + int(np.prod(shape)) * dtype.itemsize)
             self._offsets = np.load(fh, allow_pickle=False)
             names_blob = np.load(fh, allow_pickle=False)
         self._names = bytes(names_blob).decode("utf-8").split("\n") if names_blob.size else []
