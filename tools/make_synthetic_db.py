@@ -69,23 +69,30 @@ def main():
     q_names = [f"QUERY_{i}" for i in range(args.n_q)]
     write_fasta(os.path.join(args.out_dir, "queries.fa"), q_names, q_seqs)
 
-    db_names, db_seqs = [], []
     n_hom = int(args.n_db * args.homolog_frac)
-    for i in range(n_hom):
-        src = q_seqs[rng.integers(len(q_seqs))]
-        db_seqs.append(mutate(rng, src, p))
-        db_names.append(f"HOM_{i}")
-    for i in range(args.n_db - n_hom):
-        n = int(np.clip(rng.normal(args.mean_len, 100), 30, 3000))
-        db_seqs.append(random_seq(rng, n, p))
-        db_names.append(f"DB_{i}")
-    order = rng.permutation(len(db_seqs))
-    write_fasta(
-        os.path.join(args.out_dir, "db.fa"),
-        [db_names[i] for i in order],
-        [db_seqs[i] for i in order],
+    n_rand = args.n_db - n_hom
+    # vectorized bulk generation: one big residue draw, split by lengths
+    lengths = np.clip(
+        rng.normal(args.mean_len, 100, size=n_rand), 30, 3000
+    ).astype(np.int64)
+    bounds = np.concatenate(([0], np.cumsum(lengths)))
+    letters = np.frombuffer(
+        bytes(bytearray((STD + ord("A")).astype(np.uint8))), dtype="S1"
     )
-    total = sum(len(s) for s in db_seqs)
+    pool = rng.choice(letters, size=int(bounds[-1]), p=p)
+
+    total = int(bounds[-1])
+    out_path = os.path.join(args.out_dir, "db.fa")
+    with open(out_path, "w") as fh:
+        # homologs first (mutated query copies), then the bulk random pool
+        for i in range(n_hom):
+            src = q_seqs[rng.integers(len(q_seqs))]
+            s = "".join(chr(c + ord("A")) for c in mutate(rng, src, p))
+            total += len(s)
+            fh.write(f">HOM_{i}\n{s}\n")
+        for i in range(n_rand):
+            s = pool[bounds[i] : bounds[i + 1]].tobytes().decode("ascii")
+            fh.write(f">DB_{i}\n{s}\n")
     print(f"wrote {args.n_q} queries, {args.n_db} db seqs, {total} residues")
 
 
