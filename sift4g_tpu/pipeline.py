@@ -24,7 +24,7 @@ from .align.records import AlignmentRecord
 from .core.chain import Chain
 from .core.evalue import EValueParams, create_evalue_params, evalues
 from .core.scorers import Scorer, create_scorer
-from .io.fasta import FastaStream, read_fasta
+from .io.fasta import ChunkStore, FastaStream, read_fasta
 from .io.subst import check_data
 from .io.writers import (
     create_file_name,
@@ -108,13 +108,12 @@ def align_database(
     results: List[List[AlignmentRecord]] = [[] for _ in queries]
     remaining = [list(ix) for ix in indices]
 
-    chains: List[Chain] = []
-    consumed_floor = 0
+    store = ChunkStore()
     with FastaStream(database_path) as fs:
-        more = fs.read_part(chains, chunk_bytes)
+        more, codes0, offsets0, names0 = fs.read_part_arrays(chunk_bytes)
+        store.append_part(codes0, offsets0, names0)
         while True:
-            db_len = len(chains)
-            db_end = db_len - 1
+            db_end = store.count - 1
             # slice every query's candidates for this chunk, then score them
             # all with ONE device round trip (the fetch closure defers it)
             chunk_used: List[List[int]] = [[] for _ in queries]
@@ -129,7 +128,7 @@ def align_database(
                     continue
                 chunk_used[qi] = cand[:take]
                 remaining[qi] = cand[take:]
-                targets = [chains[t].codes for t in chunk_used[qi]]
+                targets = [store.codes(t) for t in chunk_used[qi]]
                 score_items.append((query.codes, targets))
                 active.append(qi)
                 if metrics is not None:
@@ -151,7 +150,7 @@ def align_database(
                 result = {}
 
                 def _read():
-                    result["more"] = fs.read_part(chains, chunk_bytes)
+                    result["part"] = fs.read_part_arrays(chunk_bytes)
 
                 reader = threading.Thread(target=_read)
                 reader.start()
@@ -161,7 +160,8 @@ def align_database(
                 metrics.add("align.fetch", seconds=_time.perf_counter() - t_fetch)
             if more:
                 reader.join()
-                next_more = result["more"]
+                next_more, codes_n, offsets_n, names_n = result["part"]
+                store.append_part(codes_n, offsets_n, names_n)
             t_keep = _time.perf_counter()
             for qi, scores in zip(active, all_scores):
                 query = queries[qi]
@@ -172,11 +172,11 @@ def align_database(
                 keep = sorted(keep.tolist(), key=lambda i: (-int(scores[i]), used[i]))
                 keep = keep[:max_alignments]
                 recs = align_pairs_batch(
-                    query.codes, [chains[used[i]].codes for i in keep], scorer, mode
+                    query.codes, [store.codes(used[i]) for i in keep], scorer, mode
                 )
                 for i, rec in zip(keep, recs):
                     rec.target_idx = used[i]
-                    rec.target_name = chains[used[i]].name
+                    rec.target_name = store.name(used[i])
                     rec.evalue = float(evals[i])
                     results[qi].append(rec)
                 if len(results[qi]) > max_alignments:
@@ -184,10 +184,8 @@ def align_database(
                     del results[qi][max_alignments:]
             if metrics is not None:
                 metrics.add("align.traceback", seconds=_time.perf_counter() - t_keep)
-            # free residues of the chunk below any outstanding candidate use
-            for t in range(consumed_floor, db_len):
-                chains[t].codes = np.zeros(0, dtype=np.uint8)
-            consumed_floor = db_len
+            # parts are mmap-backed under the parse cache, so no freeing is
+            # needed; records hold zero-copy slices into them
             if not more:
                 break  # the chunk just processed was the last
             more = next_more
