@@ -37,7 +37,7 @@ c_i32_p = ctypes.POINTER(ctypes.c_int32)
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.sift4g_search_create.restype = ctypes.c_void_p
     lib.sift4g_search_create.argtypes = [
-        c_i32, c_i32, c_i32, c_i64_p, c_i64, c_i32_p, c_i32_p, c_i64, c_i32,
+        c_i32, c_i32, c_i32, c_i32_p, c_i64, c_i32_p, c_i32_p, c_i64, c_i32,
     ]
     lib.sift4g_search_chunk.restype = ctypes.c_uint64
     lib.sift4g_search_chunk.argtypes = [

@@ -47,7 +47,7 @@ struct SearchCtx {
   // CSR hash over query k-mers — borrowed pointers; the Python caller
   // keeps the backing arrays alive for the context's lifetime
   // (prefilter/search.py _search_database_native holds the QueryKmerHash)
-  const int64_t* starts;
+  const int32_t* starts;
   const int32_t* hit_query;
   const int32_t* hit_pos;
   // accumulated per-query candidates (sorted desc, <= max_candidates)
@@ -83,7 +83,7 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
                 const int64_t* offsets, int64_t lo, int64_t hi,
                 int64_t start_index, ThreadState* st) {
   const int k = ctx->k;
-  const int64_t* starts = ctx->starts;
+  const int32_t* starts = ctx->starts;
   const int32_t* hit_query = ctx->hit_query;
   const int32_t* hit_pos = ctx->hit_pos;
   const int maxc = ctx->max_candidates;
@@ -140,7 +140,7 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
 extern "C" {
 
 void* sift4g_search_create(int n_queries, int max_candidates, int kmer_len,
-                           const int64_t* starts, int64_t n_starts,
+                           const int32_t* starts, int64_t n_starts,
                            const int32_t* hit_query, const int32_t* hit_pos,
                            int64_t n_hits, int n_threads) {
   (void)n_starts;

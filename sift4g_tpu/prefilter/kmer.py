@@ -43,7 +43,9 @@ def dedup_adjacent(kmers: np.ndarray) -> np.ndarray:
 class QueryKmerHash:
     """CSR inverted index over all query k-mers (hash.cpp:56-85).
 
-    ``starts``: (table_size+1,) int64 prefix offsets;
+    ``starts``: (table_size+1,) int32 prefix offsets (int32 halves the
+    216 MB k=5 table and its cache miss footprint; total query k-mers are
+    far below 2^31);
     ``hit_query``: (H,) int32 query id; ``hit_pos``: (H,) int32 k-mer
     position within that query's k-mer vector.
     Hits for one k-mer are stored in query scan order then position order,
@@ -65,8 +67,8 @@ class QueryKmerHash:
         qids = np.concatenate(all_qids) if all_qids else np.zeros(0, np.int32)
         pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.int32)
 
-        counts = np.bincount(kmers.astype(np.int64), minlength=table_size)
-        self.starts = np.zeros(table_size + 1, dtype=np.int64)
+        counts = np.bincount(kmers.astype(np.int64), minlength=table_size).astype(np.int32)
+        self.starts = np.zeros(table_size + 1, dtype=np.int32)
         np.cumsum(counts, out=self.starts[1:])
         # stable sort by kmer preserves (query, position) scan order per kmer
         order = np.argsort(kmers, kind="stable")

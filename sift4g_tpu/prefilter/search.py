@@ -135,7 +135,7 @@ def _search_database_native(
         len(queries),
         max_candidates,
         kmer_length,
-        starts.ctypes.data_as(i64p),
+        starts.ctypes.data_as(i32p),
         starts.shape[0],
         hit_query.ctypes.data_as(i32p),
         hit_pos.ctypes.data_as(i32p),

@@ -135,7 +135,7 @@ def test_native_search_thread_count_independent(tmp_path):
         hq = np.ascontiguousarray(qhash.hit_query)
         hp = np.ascontiguousarray(qhash.hit_pos)
         ctx = lib.sift4g_search_create(
-            len(queries), 30, 5, starts.ctypes.data_as(i64p), starts.shape[0],
+            len(queries), 30, 5, starts.ctypes.data_as(i32p), starts.shape[0],
             hq.ctypes.data_as(i32p), hp.ctypes.data_as(i32p), hq.shape[0], n_threads,
         )
         try:
