@@ -505,6 +505,7 @@ NEG16 = -16000
     jax.jit,
     static_argnames=(
         "mode", "gap_open", "gap_extend", "max_qlen", "max_sub", "shift_impl",
+        "acc",
     ),
 )
 def sw_scores_pallas_grouped(
@@ -523,6 +524,7 @@ def sw_scores_pallas_grouped(
     max_qlen: int = 0,
     max_sub: int = 0,
     shift_impl: str = "roll",
+    acc: str = "int",
 ) -> jnp.ndarray:
     """Scores (G, B) int32: group g = query g vs its B padded targets.
 
@@ -544,8 +546,13 @@ def sw_scores_pallas_grouped(
         and max_sub > 0
         and max_qlen * max_sub + gap_open + (N + 1) * gap_extend < -NEG16 // 2
     )
-    dt = jnp.int16 if use_i16 else jnp.int32
-    neg = NEG16 if use_i16 else NEG
+    if acc == "f32":
+        # float32 DP is exact for |values| < 2^24 (scores are far below);
+        # A/B knob for VPU f32-vs-i32 throughput
+        dt, neg = jnp.float32, -(1 << 22)
+    else:
+        dt = jnp.int16 if use_i16 else jnp.int32
+        neg = NEG16 if use_i16 else NEG
     m32_flat = jnp.clip(matrix32, -128, 127).astype(jnp.int32).reshape(32 * 32)
     lens3 = target_lens.astype(jnp.int32).reshape(G, B, 1)
 
