@@ -355,6 +355,7 @@ class BatchAligner:
         # 64-group launch; big jobs amortize the ~30 ms launch RPC over 64
         # groups = 12 G cells); trailing dummy groups (qlen 0) skip their
         # row loop
+        launch_args = []
         for (n_pad, B), groups in sorted(buckets.items()):
             G_CHUNK = 8 if len(groups) <= 8 else 64
             for gpos in range(0, len(groups), G_CHUNK):
@@ -390,20 +391,42 @@ class BatchAligner:
                 max_qlen = _length_rung(
                     max((q_lens[ii] for ii, _ in part), default=1), self.q_bucket
                 )
-                dev = sw_scores_pallas_grouped(
-                    jnp.asarray(q_local),
-                    jnp.asarray(go),
-                    jnp.asarray(gl),
-                    jnp.asarray(tg),
-                    jnp.asarray(tl),
-                    matrix32,
-                    mode=self.mode,
-                    gap_open=self.scorer.gap_open,
-                    gap_extend=self.scorer.gap_extend,
-                    max_qlen=max_qlen,
-                    max_sub=int(self.scorer.matrix.max()),
+                launch_args.append(
+                    ((q_local, go, gl, tg, tl), max_qlen, B, part)
                 )
-                devs.append((dev, B, part))
+
+        # dispatch launches from a small thread pool: the per-call dispatch
+        # RPC blocks ~100+ ms through the remote runtime but releases the
+        # GIL, so concurrent dispatches overlap (~10% measured)
+        def _launch(entry):
+            (q_local, go, gl, tg, tl), max_qlen, B, part = entry
+            dev = sw_scores_pallas_grouped(
+                jnp.asarray(q_local),
+                jnp.asarray(go),
+                jnp.asarray(gl),
+                jnp.asarray(tg),
+                jnp.asarray(tl),
+                matrix32,
+                mode=self.mode,
+                gap_open=self.scorer.gap_open,
+                gap_extend=self.scorer.gap_extend,
+                max_qlen=max_qlen,
+                max_sub=int(self.scorer.matrix.max()),
+            )
+            return dev, B, part
+
+        import jax
+
+        on_accelerator = jax.devices()[0].platform != "cpu"
+        if len(launch_args) > 1 and on_accelerator:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(launch_args))) as ex:
+                devs.extend(ex.map(_launch, launch_args))
+        else:
+            # serial on CPU: Mosaic interpret mode is thread-local and would
+            # not reach pool threads
+            devs.extend(_launch(e) for e in launch_args)
 
         def fetch() -> List[np.ndarray]:
             if not devs:
