@@ -109,9 +109,16 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
     // the previous *emitted* k-mer, which for a rolling window is the same
     // as the previous raw k-mer (dup run collapses to one).
 
-    // gather hits per query in db k-mer scan order
+    // gather hits per query in db k-mer scan order.  The CSR table is
+    // ~108 MB at k=5 and accesses are random, so the scan is DRAM-latency
+    // bound; prefetching a few k-mers ahead hides most of it.
     st->touched.clear();
-    for (uint32_t kv : st->kmers) {
+    const size_t nk = st->kmers.size();
+    constexpr size_t kAhead = 8;
+    for (size_t x = 0; x < nk; ++x) {
+      if (x + kAhead < nk)
+        __builtin_prefetch(&starts[st->kmers[x + kAhead]], 0, 1);
+      const uint32_t kv = st->kmers[x];
       int64_t s = starts[kv], e = starts[kv + 1];
       for (int64_t h = s; h < e; ++h) {
         int32_t q = hit_query[h];
