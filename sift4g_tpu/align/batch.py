@@ -1,10 +1,19 @@
-"""Host-facing batched scoring with shape bucketing.
+"""Host-facing batched scoring: bucketing, packing, and launch policy.
 
-Pads one query's candidate targets into (B, N_bucket) code arrays, runs the
-device scan (align/xla.py) — or the NumPy oracle for backend="numpy" — and
-returns exact integer scores.  Shape bucketing (query length and target
-length rounded up to multiples, fixed batch) bounds the number of XLA
-compilations; padded work is masked out inside the kernel.
+Backends (all produce exact, byte-identical integer scores):
+
+* ``pallas`` (TPU production) — every (query, target-bucket) pair of a
+  call packs into grid-of-groups Mosaic launches (pallas_sw.py): fixed
+  8/64-group grids, geometric padded-length ladder, adaptive batch width
+  bounded by the VMEM planes budget, int8 code transfers, threaded
+  dispatch, single deferred fetch; long targets route to the
+  column-chunked kernel, extreme query lengths to the XLA scan.
+* ``xla`` — the portable lax.scan twin (align/xla.py).
+* ``native`` — the threaded C++ DP (CPU-only deployments).
+* ``numpy`` — the oracle (tests / ground truth).
+
+With more than one device, pallas/xla score through the db-sharded
+shard_map path (parallel/sharded.py).
 """
 
 from __future__ import annotations
