@@ -364,12 +364,29 @@ class BatchAligner:
         # 64-group launch; big jobs amortize the ~30 ms launch RPC over 64
         # groups = 12 G cells); trailing dummy groups (qlen 0) skip their
         # row loop
+        from ..native import load as _load_native
+
+        native_lib = _load_native()
+        if native_lib is not None:
+            import ctypes
+
+            _u64p = ctypes.POINTER(ctypes.c_uint64)
+            _i32p = ctypes.POINTER(ctypes.c_int32)
+            _i8p = ctypes.POINTER(ctypes.c_int8)
+
         launch_args = []
         for (n_pad, B), groups in sorted(buckets.items()):
             G_CHUNK = 8 if len(groups) <= 8 else 64
             for gpos in range(0, len(groups), G_CHUNK):
                 part = groups[gpos : gpos + G_CHUNK]
-                tg = np.full((G_CHUNK, B, n_pad), PAD_CODE, dtype=np.int8)
+                if native_lib is not None:
+                    # native memcpy fill; tails stay uninitialized — the DP
+                    # flows left to right, so columns past a target's length
+                    # never reach valid columns and all outputs are
+                    # length-masked (pack.cpp)
+                    tg = np.empty((G_CHUNK, B, n_pad), dtype=np.int8)
+                else:
+                    tg = np.full((G_CHUNK, B, n_pad), PAD_CODE, dtype=np.int8)
                 tl = np.zeros((G_CHUNK, B), dtype=np.int32)
                 go = np.zeros(G_CHUNK, dtype=np.int32)
                 gl = np.zeros(G_CHUNK, dtype=np.int32)
@@ -387,10 +404,29 @@ class BatchAligner:
                         off += q_chunks[item_idx].shape[0]
                     go[gi] = local_off[item_idx]
                     gl[gi] = q_lens[item_idx]
-                    for r, i in enumerate(chunk_idx):
-                        t = targets[i]
-                        tg[gi, r, : t.shape[0]] = t
-                        tl[gi, r] = t.shape[0]
+                    if native_lib is not None:
+                        sel = [targets[i] for i in chunk_idx]
+                        ptrs = np.fromiter(
+                            (t.ctypes.data for t in sel), dtype=np.uint64,
+                            count=len(sel),
+                        )
+                        lens_in = np.fromiter(
+                            (t.shape[0] for t in sel), dtype=np.int32,
+                            count=len(sel),
+                        )
+                        native_lib.sift4g_pack_group(
+                            ptrs.ctypes.data_as(_u64p),
+                            lens_in.ctypes.data_as(_i32p),
+                            len(sel),
+                            n_pad,
+                            tg[gi].ctypes.data_as(_i8p),
+                            tl[gi].ctypes.data_as(_i32p),
+                        )
+                    else:
+                        for r, i in enumerate(chunk_idx):
+                            t = targets[i]
+                            tg[gi, r, : t.shape[0]] = t
+                            tl[gi, r] = t.shape[0]
                 qa_pad = _length_rung(max(off, 1), 512)
                 q_local = np.full(qa_pad, PAD_CODE, dtype=np.int32)
                 if local_parts:

@@ -65,6 +65,12 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.sift4g_fasta_close.restype = None
     lib.sift4g_fasta_close.argtypes = [ctypes.c_void_p]
 
+    lib.sift4g_pack_group.restype = None
+    lib.sift4g_pack_group.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), c_i32_p, c_i32, c_i64,
+        ctypes.POINTER(ctypes.c_int8), c_i32_p,
+    ]
+
     lib.sift4g_align_batch.restype = ctypes.c_int
     lib.sift4g_align_batch.argtypes = [
         c_u8_p, c_i32, c_u8_p, c_i64_p, c_i32,   # q, qlen, targets, offsets, n
