@@ -30,6 +30,54 @@ PAD_CODE = 31
 _MODE_IDS = {"SW": 0, "NW": 1, "HW": 2, "OV": 3}
 
 
+class PackedTargets:
+    """Candidate targets as (codes_base, starts, lens) arrays.
+
+    Per-target Python objects dominate dispatch at high query counts; this
+    form lets the grouped Pallas path bucket and pack with pure array math
+    and pointer arithmetic.  Indexing/iteration materialize zero-copy views
+    so every other backend consumes it like a list of arrays.
+    """
+
+    __slots__ = ("codes", "starts", "lens")
+
+    def __init__(self, codes: np.ndarray, starts: np.ndarray, lens: np.ndarray):
+        self.codes = codes
+        self.starts = np.asarray(starts, dtype=np.int64)
+        self.lens = np.asarray(lens, dtype=np.int32)
+
+    def __len__(self) -> int:
+        return int(self.lens.shape[0])
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        s = self.starts[i]
+        return self.codes[s : s + self.lens[i]]
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def total_len(self) -> int:
+        return int(self.lens.sum())
+
+
+def _targets_total_len(targets) -> int:
+    if isinstance(targets, PackedTargets):
+        return targets.total_len()
+    return sum(t.shape[0] for t in targets)
+
+
+def _length_rungs_vec(lens: np.ndarray, base: int) -> np.ndarray:
+    """Vectorized _length_rung over an int array (exact next-pow2 via
+    frexp: no float-log rounding hazards)."""
+    k = -(-np.maximum(lens, 1) // base)
+    m, e = np.frexp(k.astype(np.float64))
+    p = np.where(m == 0.5, np.left_shift(1, e - 1), np.left_shift(1, e))
+    p34 = (p // 4) * 3
+    p = np.where((p >= 4) & (p34 >= k), p34, p)
+    return (p * base).astype(np.int64)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -293,10 +341,21 @@ class BatchAligner:
         for item_idx, (_, targets) in enumerate(items):
             if len(targets) == 0:
                 continue
-            per_np = {}
-            for i, t in enumerate(targets):
-                n_pad = _length_rung(t.shape[0], self.t_bucket)
-                per_np.setdefault(n_pad, []).append(i)
+            if isinstance(targets, PackedTargets):
+                # vectorized bucketing: rung per target, grouped with one
+                # argsort — no per-target Python
+                rungs = _length_rungs_vec(targets.lens, self.t_bucket)
+                order = np.argsort(rungs, kind="stable")
+                uniq, first = np.unique(rungs[order], return_index=True)
+                per_np = {
+                    int(uniq[u]): order[first[u] : (first[u + 1] if u + 1 < len(first) else len(order))]
+                    for u in range(len(uniq))
+                }
+            else:
+                per_np = {}
+                for i, t in enumerate(targets):
+                    n_pad = _length_rung(t.shape[0], self.t_bucket)
+                    per_np.setdefault(n_pad, []).append(i)
             for n_pad, idxs in per_np.items():
                 if 26 * n_pad * 256 > 14 * 1024 * 1024:
                     # even B=256 planes would not fit VMEM
@@ -405,19 +464,26 @@ class BatchAligner:
                     go[gi] = local_off[item_idx]
                     gl[gi] = q_lens[item_idx]
                     if native_lib is not None:
-                        sel = [targets[i] for i in chunk_idx]
-                        ptrs = np.fromiter(
-                            (t.ctypes.data for t in sel), dtype=np.uint64,
-                            count=len(sel),
-                        )
-                        lens_in = np.fromiter(
-                            (t.shape[0] for t in sel), dtype=np.int32,
-                            count=len(sel),
-                        )
+                        if isinstance(targets, PackedTargets):
+                            # pure pointer arithmetic: base + starts[sel]
+                            base = targets.codes.ctypes.data
+                            ci = np.asarray(chunk_idx)
+                            ptrs = (base + targets.starts[ci]).astype(np.uint64)
+                            lens_in = np.ascontiguousarray(targets.lens[ci])
+                        else:
+                            sel = [targets[i] for i in chunk_idx]
+                            ptrs = np.fromiter(
+                                (t.ctypes.data for t in sel), dtype=np.uint64,
+                                count=len(sel),
+                            )
+                            lens_in = np.fromiter(
+                                (t.shape[0] for t in sel), dtype=np.int32,
+                                count=len(sel),
+                            )
                         native_lib.sift4g_pack_group(
                             ptrs.ctypes.data_as(_u64p),
                             lens_in.ctypes.data_as(_i32p),
-                            len(sel),
+                            int(lens_in.shape[0]),
                             n_pad,
                             tg[gi].ctypes.data_as(_i8p),
                             tl[gi].ctypes.data_as(_i32p),

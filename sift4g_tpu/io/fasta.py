@@ -291,6 +291,20 @@ class ChunkStore:
         _, _, names, start = self._locate(idx)
         return names[idx - start]
 
+    def pack_latest(self, idxs):
+        """(codes, starts, lens) arrays for indices inside the NEWEST part,
+        or None if any index falls outside it (callers then fall back to
+        per-index access).  The align chunk loop consumes candidates in
+        ascending order, so each iteration's indices live in the newest
+        part by construction."""
+        codes, offsets, _, start = self._parts[-1]
+        local = np.asarray(idxs, dtype=np.int64) - start
+        if local.size and (local.min() < 0 or local.max() >= offsets.shape[0] - 1):
+            return None
+        starts = offsets[local]
+        lens = (offsets[local + 1] - starts).astype(np.int32)
+        return codes, starts, lens
+
 
 def _cache_path(path: str) -> str:
     return path + ".s4gc"

@@ -19,7 +19,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from .align.batch import BatchAligner, align_pairs_batch
+from .align.batch import BatchAligner, PackedTargets, _targets_total_len, align_pairs_batch
 from .align.records import AlignmentRecord
 from .core.chain import Chain
 from .core.evalue import EValueParams, create_evalue_params, evalues
@@ -128,13 +128,17 @@ def align_database(
                     continue
                 chunk_used[qi] = cand[:take]
                 remaining[qi] = cand[take:]
-                targets = [store.codes(t) for t in chunk_used[qi]]
+                packed = store.pack_latest(chunk_used[qi])
+                if packed is not None:
+                    targets = PackedTargets(*packed)
+                else:  # defensive: indices outside the newest part
+                    targets = [store.codes(t) for t in chunk_used[qi]]
                 score_items.append((query.codes, targets))
                 active.append(qi)
                 if metrics is not None:
                     metrics.add(
                         "align",
-                        cells=float(len(query)) * float(sum(t.shape[0] for t in targets)),
+                        cells=float(len(query)) * float(_targets_total_len(targets)),
                     )
             import time as _time
 
