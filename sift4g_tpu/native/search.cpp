@@ -50,6 +50,10 @@ struct SearchCtx {
   const int32_t* starts;
   const int32_t* hit_query;
   const int32_t* hit_pos;
+  // presence bitmap over the k-mer table: ~3.4 MB at k=5 (vs the 108 MB
+  // offsets table), so the all-but-miss case of the scan stays in cache —
+  // only ~|query k-mers| of the 27M table entries are nonempty
+  std::vector<uint64_t> present;
   // accumulated per-query candidates (sorted desc, <= max_candidates)
   std::vector<std::vector<Candidate>> cands;
   std::vector<float> floors;
@@ -109,16 +113,12 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
     // the previous *emitted* k-mer, which for a rolling window is the same
     // as the previous raw k-mer (dup run collapses to one).
 
-    // gather hits per query in db k-mer scan order.  The CSR table is
-    // ~108 MB at k=5 and accesses are random, so the scan is DRAM-latency
-    // bound; prefetching a few k-mers ahead hides most of it.
+    // gather hits per query in db k-mer scan order.  The presence bitmap
+    // screens ~99.9% of k-mers without touching the 108 MB offsets table.
     st->touched.clear();
-    const size_t nk = st->kmers.size();
-    constexpr size_t kAhead = 8;
-    for (size_t x = 0; x < nk; ++x) {
-      if (x + kAhead < nk)
-        __builtin_prefetch(&starts[st->kmers[x + kAhead]], 0, 1);
-      const uint32_t kv = st->kmers[x];
+    const uint64_t* present = ctx->present.data();
+    for (uint32_t kv : st->kmers) {
+      if (!((present[kv >> 6] >> (kv & 63)) & 1)) continue;
       int64_t s = starts[kv], e = starts[kv + 1];
       for (int64_t h = s; h < e; ++h) {
         int32_t q = hit_query[h];
@@ -150,7 +150,6 @@ void* sift4g_search_create(int n_queries, int max_candidates, int kmer_len,
                            const int32_t* starts, int64_t n_starts,
                            const int32_t* hit_query, const int32_t* hit_pos,
                            int64_t n_hits, int n_threads) {
-  (void)n_starts;
   (void)n_hits;
   auto* ctx = new SearchCtx();
   ctx->n_queries = n_queries;
@@ -159,6 +158,11 @@ void* sift4g_search_create(int n_queries, int max_candidates, int kmer_len,
   ctx->starts = starts;
   ctx->hit_query = hit_query;
   ctx->hit_pos = hit_pos;
+  const int64_t table = n_starts - 1;
+  ctx->present.assign(static_cast<size_t>((table + 63) / 64), 0);
+  for (int64_t kv = 0; kv < table; ++kv)
+    if (starts[kv + 1] > starts[kv])
+      ctx->present[kv >> 6] |= (1ull << (kv & 63));
   ctx->cands.resize(n_queries);
   ctx->floors.assign(n_queries, 1e6f);  // database_search.cpp:86
   unsigned hw = std::thread::hardware_concurrency();
