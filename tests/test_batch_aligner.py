@@ -57,3 +57,14 @@ def test_backends_agree_scores_many(mode):
     for r, x, p in zip(ref, got_xla, got_pl):
         np.testing.assert_array_equal(x, r)
         np.testing.assert_array_equal(p, r)
+
+
+def test_length_rungs_vec_matches_scalar():
+    from sift4g_tpu.align.batch import _length_rung, _length_rungs_vec
+
+    lens = np.concatenate([
+        np.arange(1, 2000), np.array([2048, 2049, 3072, 3073, 10000, 35000])
+    ])
+    vec = _length_rungs_vec(lens, 128)
+    for n, v in zip(lens.tolist(), vec.tolist()):
+        assert v == _length_rung(n, 128), n
