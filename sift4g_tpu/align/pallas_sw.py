@@ -227,14 +227,21 @@ def _sw_grouped_kernel(
 
     if shift_impl == "concat":
         # static-slice shift: 2 ops/round (concat+max) vs roll's 3
-        # (roll+where+max)
+        # (roll+where+max); also the only choice for 16-bit accumulators
+        # (Mosaic cannot lower tpu.dynamic_rotate on non-32-bit vectors)
         def shift_neg(x, k):
             return jnp.concatenate(
                 [jnp.full((B, k), neg, dt), x[:, : N - k]], axis=1
             )
+
+        def shift1(x):
+            return jnp.concatenate([x[:, :1], x[:, : N - 1]], axis=1)
     else:
         def shift_neg(x, k):
             return jnp.where(col < k, neg, pltpu.roll(x, k, axis=1))
+
+        def shift1(x):
+            return pltpu.roll(x, 1, axis=1)
 
     def row_body(i, _):
         c = q_ref[qoff + i]
@@ -248,8 +255,7 @@ def _sw_grouped_kernel(
             left0 = (-(go + i * ge)).astype(dt)
             left0_prev = jnp.where(i == 0, 0, -(go + (i - 1) * ge)).astype(dt)
         f = jnp.maximum(hp - go, fp - ge)
-        diag = pltpu.roll(hp, 1, axis=1)
-        diag = jnp.where(col == 0, left0_prev, diag)
+        diag = jnp.where(col == 0, left0_prev, shift1(hp))
         g_ = jnp.maximum(diag + s, f)
         if local:
             g_ = jnp.maximum(g_, 0)
@@ -528,31 +534,37 @@ def sw_scores_pallas_grouped(
 ) -> jnp.ndarray:
     """Scores (G, B) int32: group g = query g vs its B padded targets.
 
-    When the caller supplies static bounds (``max_qlen`` over all groups,
-    ``max_sub`` = max substitution score of the matrix) that keep every DP
-    value inside int16, the kernel runs with int16 accumulators (2x VPU
-    element density); otherwise int32.  Results are identical.
+    ``acc`` picks the DP accumulator: "int" (int32, default), "i16"
+    (int16, 2x VPU element density — requires static bounds ``max_qlen``
+    over all groups and ``max_sub`` = max substitution score so every DP
+    value provably fits; forces concat-shifts since Mosaic lacks 16-bit
+    rotates), or "f32".  Results are bit-identical across all three.
     """
     G, B, N = targets.shape
-    # int16 DP is exact under these bounds, but Mosaic currently cannot
-    # lower tpu.dynamic_rotate on 16-bit vectors ("not implemented: Rotate
-    # with non-32-bit data", observed on v5e) — the prefix-max rolls are
-    # the kernel's backbone, so int16 stays disabled until Mosaic supports
-    # it (or the rolls are rewritten as masked concat-shifts).
-    _I16_ROTATE_SUPPORTED = False
-    use_i16 = (
-        _I16_ROTATE_SUPPORTED
-        and max_qlen > 0
+    i16_admissible = (
+        max_qlen > 0
         and max_sub > 0
         and max_qlen * max_sub + gap_open + (N + 1) * gap_extend < -NEG16 // 2
     )
-    if acc == "f32":
+    if acc == "i16":
+        # int16 DP is exact under the static bound above (the wrapper
+        # refuses otherwise).  Mosaic cannot lower tpu.dynamic_rotate on
+        # 16-bit vectors ("not implemented: Rotate with non-32-bit data",
+        # v5e), so the int16 kernel uses concat-shifts exclusively.
+        assert i16_admissible, (
+            "acc='i16' needs max_qlen/max_sub bounds that keep the DP "
+            "inside int16"
+        )
+        dt, neg = jnp.int16, NEG16
+        shift_impl = "concat"
+    elif acc == "f32":
         # float32 DP is exact for |values| < 2^24 (scores are far below);
         # A/B knob for VPU f32-vs-i32 throughput
         dt, neg = jnp.float32, -(1 << 22)
     else:
-        dt = jnp.int16 if use_i16 else jnp.int32
-        neg = NEG16 if use_i16 else NEG
+        # "int": int32 (the production default); int16 is opt-in via
+        # acc="i16" until it proves out on real hardware.
+        dt, neg = jnp.int32, NEG
     m32_flat = jnp.clip(matrix32, -128, 127).astype(jnp.int32).reshape(32 * 32)
     lens3 = target_lens.astype(jnp.int32).reshape(G, B, 1)
 

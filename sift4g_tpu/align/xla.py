@@ -36,7 +36,16 @@ PAD_CODE = 31
 
 
 def _extend_matrix(matrix: np.ndarray) -> np.ndarray:
-    """26x26 -> 32x32 with NEG rows/cols for padding codes."""
+    """26x26 -> 32x32 with NEG rows/cols for padding codes.
+
+    The Pallas kernels store substitution planes as int8; scores outside
+    [-128, 127] would be silently clamped there and break the cross-backend
+    bit-equality invariant, so reject them host-side (every bundled BLOSUM/
+    PAM matrix is well inside the range)."""
+    assert np.abs(matrix).max() <= 127, (
+        "substitution scores must fit int8 (|score| <= 127) for the Pallas "
+        f"kernels; got max |score| = {np.abs(matrix).max()}"
+    )
     m32 = np.full((32, 32), NEG, dtype=np.int32)
     m32[:26, :26] = matrix
     return m32

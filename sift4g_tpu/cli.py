@@ -99,6 +99,10 @@ def main(argv=None) -> int:
         return fail("invalid max candidates number")
     if args.evalue <= 0:
         return fail("invalid evalue")
+    if args.max_aligns <= 0:
+        return fail("invalid max alignments number")
+    if args.threads <= 0:
+        return fail("invalid thread number")
     if args.out and not os.path.isdir(args.out):
         return fail(f"invalid out directory path '{args.out}'")
     if args.subst and not os.path.isdir(args.subst):

@@ -16,9 +16,22 @@ Gap model (affine): a gap of length L costs ``gap_open + (L-1)*gap_extend``
 E/F recurrences ``E = max(H - gap_open, E - gap_extend)`` used by SW#-style
 aligners.  Defaults: open=10, extend=1 (reference main.cpp:71-72).
 
-Only BLOSUM_45/50/62/80/90 are shipped; the reference help also lists
-BLOSUM_30/70/250 (main.cpp:306-314) whose tables lived in the absent
-swsharp submodule — requesting them raises a clear error.
+All 8 names the reference help advertises (main.cpp:306-314) are accepted:
+BLOSUM_45/50/62/80/90 plus BLOSUM_30/70/250.  The last three deserve a
+note, since their data lived only in the absent swsharp submodule:
+
+* **BLOSUM_30 / BLOSUM_70** are the published Henikoff matrices from the
+  NCBI matrix distribution (ftp.ncbi.nih.gov/blast/matrices), transcribed
+  here.  This environment has no network access, so the transcriptions are
+  best-effort from well-known public data and validated by structural
+  property tests (symmetry, negative expected score, relative entropy in
+  the published band); verify against the canonical files before relying
+  on single-point score parity with other tools.
+* **BLOSUM_250** does not exist in the BLOSUM literature (the Henikoffs
+  published clustering levels 30..100); the only published "250-series"
+  matrix is Dayhoff's PAM250, which is what any library shipping a
+  "*_250" table contains.  The name maps to the PAM250 data here, and
+  PAM_30/PAM_70/PAM_250 are accepted directly as well.
 """
 
 from __future__ import annotations

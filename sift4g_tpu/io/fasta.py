@@ -191,22 +191,26 @@ class CachedFastaStream:
     ends with the sequence that exhausts the budget).
     """
 
-    MAGIC = b"S4GC0002"
+    MAGIC = b"S4GC0003"
 
     def __init__(self, path: str):
-        # the codes payload is memory-mapped (np.save writes a plain .npy
-        # record at a computable offset), so a UniRef90-scale cache costs no
-        # resident memory until its chunks are touched
+        # layout: MAGIC(8) | n_codes u64 | raw u8 codes | npy(offsets) |
+        # npy(names blob).  The codes payload is raw bytes at a fixed
+        # offset (16) — memory-mapped, so a UniRef90-scale cache costs no
+        # resident memory until its chunks are touched, and no numpy
+        # header parsing (public or private) is involved.
         with open(path, "rb") as fh:
             if fh.read(8) != self.MAGIC:
                 raise ValueError("bad cache magic")
-            version = np.lib.format.read_magic(fh)
-            shape, _fortran, dtype = np.lib.format._read_array_header(fh, version)
+            n_codes = int.from_bytes(fh.read(8), "little")
             data_off = fh.tell()
-            self._codes = np.memmap(
-                path, dtype=dtype, mode="r", offset=data_off, shape=shape
+            self._codes = (
+                np.memmap(path, dtype=np.uint8, mode="r", offset=data_off,
+                          shape=(n_codes,))
+                if n_codes
+                else np.zeros(0, np.uint8)
             )
-            fh.seek(data_off + int(np.prod(shape)) * dtype.itemsize)
+            fh.seek(data_off + n_codes)
             self._offsets = np.load(fh, allow_pickle=False)
             names_blob = np.load(fh, allow_pickle=False)
         self._names = bytes(names_blob).decode("utf-8").split("\n") if names_blob.size else []
@@ -217,14 +221,11 @@ class CachedFastaStream:
 
     @classmethod
     def write_cache(cls, cache_path: str, codes, offsets, names) -> None:
-        tmp = cache_path + ".tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(cls.MAGIC)
-            np.save(fh, codes)
-            np.save(fh, offsets)
-            blob = "\n".join(names).encode("utf-8")
-            np.save(fh, np.frombuffer(blob, dtype=np.uint8))
-        os.replace(tmp, cache_path)
+        with CacheWriter(cache_path) as w:
+            w.add_part(codes, np.diff(offsets), names)
+
+    def n_sequences(self) -> int:
+        return self._offsets.shape[0] - 1
 
     def close(self) -> None:
         pass
@@ -259,6 +260,56 @@ class CachedFastaStream:
         return more
 
 
+class CacheWriter:
+    """Streaming .s4gc writer: code parts are appended as they are parsed
+    (never materializing the whole database in RAM — a first run on a
+    bigger-than-memory database stays bounded); the code byte count is
+    patched into the fixed-offset header on close.  Offsets (8 bytes/seq)
+    and names stay in RAM — trivial next to the codes."""
+
+    def __init__(self, cache_path: str):
+        self._final = cache_path
+        self._tmp = cache_path + ".tmp"
+        self._fh = open(self._tmp, "wb")
+        self._fh.write(CachedFastaStream.MAGIC)
+        self._fh.write((0).to_bytes(8, "little"))  # patched on close
+        self._n_codes = 0
+        self._lengths: List[np.ndarray] = []
+        self._names: List[str] = []
+
+    def add_part(self, codes: np.ndarray, lengths, names) -> None:
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        self._fh.write(codes.tobytes())
+        self._n_codes += int(codes.shape[0])
+        self._lengths.append(np.asarray(lengths, dtype=np.int64))
+        self._names.extend(names)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *exc):
+        if exc_type is not None:
+            self._fh.close()
+            os.unlink(self._tmp)
+            return False
+        self.close()
+        return False
+
+    def close(self) -> None:
+        lengths = (
+            np.concatenate(self._lengths) if self._lengths else np.zeros(0, np.int64)
+        )
+        offsets = np.zeros(lengths.shape[0] + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        np.save(self._fh, offsets)
+        blob = "\n".join(self._names).encode("utf-8")
+        np.save(self._fh, np.frombuffer(blob, dtype=np.uint8))
+        self._fh.seek(8)
+        self._fh.write(self._n_codes.to_bytes(8, "little"))
+        self._fh.close()
+        os.replace(self._tmp, self._final)
+
+
 class ChunkStore:
     """Sequence access over streamed parts with NO per-sequence objects.
 
@@ -291,6 +342,24 @@ class ChunkStore:
         _, _, names, start = self._locate(idx)
         return names[idx - start]
 
+    @property
+    def latest_is_mmap(self) -> bool:
+        """True when the newest part's codes are cache-mmap-backed (free to
+        keep around); heap-backed parts must be evicted once consumed."""
+        if not self._parts:
+            return False
+        codes = self._parts[-1][0]
+        return isinstance(codes, np.memmap) or isinstance(
+            getattr(codes, "base", None), np.memmap
+        )
+
+    def drop_before_latest(self) -> None:
+        """Free all parts except the newest.  The align chunk loop consumes
+        candidate indices in ascending order, so older parts are never read
+        again; without eviction heap-backed parts (no parse cache) would pin
+        the whole database in RAM for the entire align phase."""
+        del self._parts[:-1]
+
     def pack_latest(self, idxs):
         """(codes, starts, lens) arrays for indices inside the NEWEST part,
         or None if any index falls outside it (callers then fall back to
@@ -311,37 +380,21 @@ def _cache_path(path: str) -> str:
 
 
 def build_fasta_cache(path: str) -> str:
-    """Parse once and write the binary cache next to the input; returns the
+    """Parse once, streaming parts straight into the binary cache next to
+    the input (bounded memory regardless of database size); returns the
     cache path.  Uses the native parser when available."""
-    parts_codes = []
-    parts_names: List[str] = []
-    lengths = []
     from .. import native as _native
 
     lib = _native.load()
     stream = (
         NativeFastaStream(path, lib=lib) if lib is not None else PyFastaStream(path)
     )
-    with stream as fs:
-        if hasattr(fs, "read_part_arrays"):
-            more = True
-            while more:
-                more, codes, offsets, names = fs.read_part_arrays(1 << 28)
-                parts_codes.append(codes)
-                parts_names.extend(names)
-                lengths.extend(np.diff(offsets).tolist())
-        else:
-            chains: List[Chain] = []
-            while fs.read_part(chains, 1 << 28):
-                pass
-            parts_codes = [c.codes for c in chains]
-            parts_names = [c.name for c in chains]
-            lengths = [len(c) for c in chains]
-    codes = np.concatenate(parts_codes) if parts_codes else np.zeros(0, np.uint8)
-    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
-    np.cumsum(lengths, out=offsets[1:])
     cp = _cache_path(path)
-    CachedFastaStream.write_cache(cp, codes, offsets, parts_names)
+    with stream as fs, CacheWriter(cp) as w:
+        more = True
+        while more:
+            more, codes, offsets, names = fs.read_part_arrays(1 << 28)
+            w.add_part(codes, np.diff(offsets), names)
     return cp
 
 
@@ -360,7 +413,12 @@ def FastaStream(path: str, buffer_size: int = 1 << 22, use_cache: bool = True):
                 and os.path.getmtime(cp) >= os.path.getmtime(path)
             ):
                 build_fasta_cache(path)
-            return CachedFastaStream(cp)
+            try:
+                return CachedFastaStream(cp)
+            except ValueError:
+                # stale format (magic mismatch): rebuild once
+                build_fasta_cache(path)
+                return CachedFastaStream(cp)
         except (OSError, ValueError):
             pass  # unwritable directory / corrupt cache: stream directly
     from .. import native as _native

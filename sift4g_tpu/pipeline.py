@@ -114,6 +114,10 @@ def align_database(
         store.append_part(codes0, offsets0, names0)
         while True:
             db_end = store.count - 1
+            # slices of a heap-backed part (no parse cache) pin the whole
+            # part; kept records must copy their target codes so the part
+            # can be evicted at the end of the iteration
+            consumed_is_mmap = store.latest_is_mmap
             # slice every query's candidates for this chunk, then score them
             # all with ONE device round trip (the fetch closure defers it)
             chunk_used: List[List[int]] = [[] for _ in queries]
@@ -182,14 +186,18 @@ def align_database(
                     rec.target_idx = used[i]
                     rec.target_name = store.name(used[i])
                     rec.evalue = float(evals[i])
+                    if not consumed_is_mmap:
+                        rec.target_codes = np.array(rec.target_codes, copy=True)
                     results[qi].append(rec)
                 if len(results[qi]) > max_alignments:
                     results[qi].sort(key=lambda r: (-r.score, r.target_idx))
                     del results[qi][max_alignments:]
             if metrics is not None:
                 metrics.add("align.traceback", seconds=_time.perf_counter() - t_keep)
-            # parts are mmap-backed under the parse cache, so no freeing is
-            # needed; records hold zero-copy slices into them
+            # evict consumed parts: mmap-backed parts cost nothing either
+            # way, heap-backed parts would otherwise grow RSS to the full
+            # database size (kept records copied their codes above)
+            store.drop_before_latest()
             if not more:
                 break  # the chunk just processed was the last
             more = next_more
@@ -219,6 +227,7 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
             max_candidates=cfg.max_candidates,
             chunk_bytes=cfg.search_chunk_bytes,
             log=log,
+            threads=cfg.threads,
         )
     metrics.add("search", db_residues=float(cells), queries=float(len(queries)))
 

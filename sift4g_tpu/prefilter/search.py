@@ -117,6 +117,7 @@ def _search_database_native(
     max_candidates: int,
     chunk_bytes: int,
     log,
+    threads: int = 0,
 ) -> Tuple[List[np.ndarray], int]:
     """All-native chunk loop: C++ FASTA streaming feeding the C++ k-mer/LIS
     engine, no per-sequence Python objects (native/search.cpp)."""
@@ -140,7 +141,7 @@ def _search_database_native(
         hit_query.ctypes.data_as(i32p),
         hit_pos.ctypes.data_as(i32p),
         hit_query.shape[0],
-        0,
+        max(int(threads), 0),
     )
     total_cells = 0
     consumed = 0
@@ -184,8 +185,14 @@ def search_database(
     max_candidates: int = 5000,
     chunk_bytes: int = SEARCH_CHUNK_BYTES,
     log=sys.stderr,
+    threads: int = 0,
 ) -> Tuple[List[np.ndarray], int]:
-    """Returns (per-query ascending candidate db indices, total db residues)."""
+    """Returns (per-query ascending candidate db indices, total db residues).
+
+    ``threads`` bounds the native engine's worker count (the reference
+    threads the search with its -t pool, database_search.cpp:101-123);
+    0 means hardware concurrency.  Candidate sets are independent of the
+    thread count (property-tested)."""
     print("** Searching database for candidate sequences **", file=log)
 
     from .. import native
@@ -193,7 +200,8 @@ def search_database(
     lib = native.load()
     if lib is not None:
         return _search_database_native(
-            lib, database_path, queries, kmer_length, max_candidates, chunk_bytes, log
+            lib, database_path, queries, kmer_length, max_candidates, chunk_bytes,
+            log, threads=threads,
         )
 
     qhash = QueryKmerHash([q.codes for q in queries], kmer_length)

@@ -36,11 +36,12 @@ def test_grouped_matches_xla(mode):
                 q_all, q_offsets, qlens, targets, lens, m32, mode=mode
             )
         )
-        # int16 accumulator path (static bounds make it admissible)
+        # int16 accumulator path, explicitly engaged (acc="i16" asserts the
+        # static bounds make it admissible and runs rotate-free)
         got16 = np.asarray(
             sw_scores_pallas_grouped(
                 q_all, q_offsets, qlens, targets, lens, m32, mode=mode,
-                max_qlen=64, max_sub=int(scorer.matrix.max()),
+                max_qlen=64, max_sub=int(scorer.matrix.max()), acc="i16",
             )
         )
         # concat-shift prefix-max variant
