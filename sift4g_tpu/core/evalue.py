@@ -37,9 +37,9 @@ from .scorers import Scorer
 
 # Published NCBI gapped Karlin-Altschul parameters, keyed by
 # (matrix, ncbi_gap_open, ncbi_gap_extend) -> (lambda, K, H, alpha, beta).
-# Transcribed from NCBI blast_stat.c (public data).  The BLOSUM_62 rows are
-# the canonical blastp table; rows for other matrices cover the most common
-# gap settings.
+# Transcribed from NCBI blast_stat.c (public data): every gap setting NCBI
+# supports for BLOSUM_45/50/62/80/90 and PAM_250 (= this framework's
+# BLOSUM_250).  Zero-egress transcription caveat as in core/scorers.py.
 _GAPPED: Dict[Tuple[str, int, int], Tuple[float, float, float, float, float]] = {
     ("BLOSUM_62", 11, 2): (0.297, 0.082, 0.27, 1.1, -10),
     ("BLOSUM_62", 10, 2): (0.291, 0.075, 0.23, 1.3, -15),
@@ -72,7 +72,46 @@ _GAPPED: Dict[Tuple[str, int, int], Tuple[float, float, float, float, float]] = 
     ("BLOSUM_80", 11, 1): (0.314, 0.095, 0.35, 0.90, -9),
     ("BLOSUM_80", 10, 1): (0.299, 0.071, 0.27, 1.1, -14),
     ("BLOSUM_80", 9, 1): (0.279, 0.048, 0.20, 1.4, -19),
+    ("BLOSUM_50", 13, 3): (0.212, 0.063, 0.19, 1.1, -16),
+    ("BLOSUM_50", 12, 3): (0.206, 0.055, 0.17, 1.2, -18),
+    ("BLOSUM_50", 11, 3): (0.197, 0.042, 0.14, 1.4, -25),
+    ("BLOSUM_50", 10, 3): (0.186, 0.031, 0.11, 1.7, -34),
+    ("BLOSUM_50", 9, 3): (0.172, 0.022, 0.082, 2.1, -48),
+    ("BLOSUM_50", 16, 2): (0.215, 0.066, 0.20, 1.05, -15),
+    ("BLOSUM_50", 15, 2): (0.210, 0.058, 0.17, 1.2, -20),
+    ("BLOSUM_50", 14, 2): (0.202, 0.045, 0.14, 1.4, -27),
+    ("BLOSUM_50", 13, 2): (0.193, 0.035, 0.12, 1.6, -32),
+    ("BLOSUM_50", 12, 2): (0.181, 0.025, 0.095, 1.9, -41),
+    ("BLOSUM_50", 19, 1): (0.212, 0.057, 0.18, 1.2, -21),
+    ("BLOSUM_50", 18, 1): (0.207, 0.050, 0.15, 1.4, -28),
+    ("BLOSUM_50", 17, 1): (0.198, 0.037, 0.12, 1.6, -33),
+    ("BLOSUM_50", 16, 1): (0.186, 0.025, 0.10, 1.9, -42),
+    ("BLOSUM_90", 9, 2): (0.310, 0.12, 0.46, 0.67, -3),
+    ("BLOSUM_90", 8, 2): (0.300, 0.099, 0.39, 0.76, -5),
+    ("BLOSUM_90", 7, 2): (0.283, 0.072, 0.30, 0.93, -8),
+    ("BLOSUM_90", 6, 2): (0.259, 0.048, 0.22, 1.2, -16),
+    ("BLOSUM_90", 11, 1): (0.302, 0.093, 0.39, 0.78, -5),
+    ("BLOSUM_90", 10, 1): (0.290, 0.075, 0.28, 1.04, -8),
+    ("BLOSUM_90", 9, 1): (0.265, 0.044, 0.20, 1.3, -19),
+    ("PAM_250", 15, 3): (0.205, 0.049, 0.13, 1.6, -23),
+    ("PAM_250", 14, 3): (0.200, 0.043, 0.12, 1.7, -26),
+    ("PAM_250", 13, 3): (0.194, 0.036, 0.10, 1.9, -31),
+    ("PAM_250", 12, 3): (0.186, 0.029, 0.085, 2.2, -41),
+    ("PAM_250", 11, 3): (0.174, 0.020, 0.070, 2.5, -48),
+    ("PAM_250", 17, 2): (0.204, 0.047, 0.12, 1.7, -28),
+    ("PAM_250", 16, 2): (0.198, 0.038, 0.11, 1.8, -29),
+    ("PAM_250", 15, 2): (0.191, 0.031, 0.087, 2.2, -44),
+    ("PAM_250", 14, 2): (0.182, 0.024, 0.073, 2.5, -53),
+    ("PAM_250", 13, 2): (0.171, 0.017, 0.059, 2.9, -64),
+    ("PAM_250", 21, 1): (0.205, 0.045, 0.11, 1.8, -34),
+    ("PAM_250", 20, 1): (0.199, 0.037, 0.10, 1.9, -35),
+    ("PAM_250", 19, 1): (0.192, 0.029, 0.083, 2.3, -52),
+    ("PAM_250", 18, 1): (0.183, 0.021, 0.070, 2.6, -60),
+    ("PAM_250", 17, 1): (0.171, 0.014, 0.052, 3.3, -86),
 }
+# NCBI BLAST ships no gapped parameters for BLOSUM_30/BLOSUM_70 at any gap
+# cost (blast_stat.c has no blosum30/70 tables): those matrices always take
+# the computed-ungapped path below, with a loud warning.
 
 
 @dataclass
@@ -155,12 +194,29 @@ def _ungapped_k(matrix: np.ndarray, freqs: np.ndarray, lam: float, H: float) -> 
     return float(lam * delta / (H * (1.0 - math.exp(-lam * delta))) * math.exp(-2.0 * sigma))
 
 
-def create_evalue_params(total_cells: int, scorer: Scorer) -> EValueParams:
-    """Mirror of createEValueParams (main.cpp:210)."""
+def create_evalue_params(
+    total_cells: int, scorer: Scorer, log=None
+) -> EValueParams:
+    """Mirror of createEValueParams (main.cpp:210).
+
+    Falls back to computed ungapped statistics when no published gapped
+    (lambda, K) row exists for (matrix, gap costs) — loudly: ungapped
+    parameters make E-values conservative (smaller), which can change
+    which alignments pass the --evalue filter vs BLAST-style tools.
+    """
     key = (scorer.name, scorer.gap_open - scorer.gap_extend, scorer.gap_extend)
     if key in _GAPPED:
         lam, K, H, alpha, beta = _GAPPED[key]
         return EValueParams(lam, K, H, alpha, beta, total_cells, gapped=True)
+    import sys
+
+    print(
+        f"WARNING: no published gapped Karlin-Altschul parameters for "
+        f"{scorer.name} with gap open {scorer.gap_open} / extend "
+        f"{scorer.gap_extend}; using ungapped statistics computed from the "
+        f"matrix — E-value filtering may differ from gapped-BLAST behaviour",
+        file=log if log is not None else sys.stderr,
+    )
     lam = _ungapped_lambda(scorer.matrix, AA_FREQUENCY)
     H = _ungapped_entropy(scorer.matrix, AA_FREQUENCY, lam)
     K = _ungapped_k(scorer.matrix, AA_FREQUENCY, lam, H)

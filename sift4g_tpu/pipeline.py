@@ -232,7 +232,7 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
     metrics.add("search", db_residues=float(cells), queries=float(len(queries)))
 
     scorer = create_scorer(cfg.matrix, cfg.gap_open, cfg.gap_extend)
-    evalue_params = create_evalue_params(cells, scorer)
+    evalue_params = create_evalue_params(cells, scorer, log=log)
 
     with metrics.phase("align"):
         records = align_database(
