@@ -182,6 +182,7 @@ class BatchAligner:
         batch: int = 256,
         q_bucket: int = 64,
         t_bucket: int = 128,
+        b_cap: int = 0,
     ):
         if backend == "auto":
             from . import best_backend
@@ -193,9 +194,19 @@ class BatchAligner:
         self.batch = batch
         self.q_bucket = q_bucket
         self.t_bucket = t_bucket
+        # optional grouped-batch width cap: tests bound interpret-mode work
+        # with it (production leaves 0 = VMEM-budget policy only)
+        self.b_cap = b_cap
+        # grouped kernel implementation: "pallas" (Mosaic, production) or
+        # "xla" (the exact portable twin — CPU-mesh tests use it because
+        # Mosaic interpret mode under shard_map is pathologically slow)
+        self.grouped_impl = "pallas"
         self._matrix32 = None
         self._mesh = None
         self._sharded_fns = {}
+        # kernel-launch counter: launches must scale with (bucket, G_CHUNK)
+        # chunks, never with queries x buckets (VERDICT r1 item 1c)
+        self.launches = 0
         if backend in ("xla", "pallas"):
             try:
                 import jax
@@ -223,6 +234,21 @@ class BatchAligner:
                 kernel="pallas" if self.backend == "pallas" else "xla",
             )
         return self._sharded_fns["fn"]
+
+    def _sharded_xla_fn(self):
+        """Db-sharded XLA-scan scorer: the mesh fallback for target/query
+        shapes the Mosaic kernels cannot hold in VMEM."""
+        if "xla" not in self._sharded_fns:
+            from ..parallel.sharded import make_sharded_scores
+
+            self._sharded_fns["xla"] = make_sharded_scores(
+                self._mesh,
+                mode=self.mode,
+                gap_open=self.scorer.gap_open,
+                gap_extend=self.scorer.gap_extend,
+                kernel="xla",
+            )
+        return self._sharded_fns["xla"]
 
     def _matrix32_dev(self):
         if self._matrix32 is None:
@@ -270,7 +296,10 @@ class BatchAligner:
             return lambda: res
         import jax.numpy as jnp
 
-        if self.backend == "pallas" and self._mesh is None:
+        if self.backend == "pallas":
+            # single-chip AND multi-chip: the grouped packing/launch policy
+            # is identical; with a mesh each launch's group axis is sharded
+            # across devices (parallel/sharded.make_grouped_sharded)
             return self._scores_pallas_grouped(items)
 
         pending = []   # (item_idx, chunk_idx) per dispatched call
@@ -311,6 +340,7 @@ class BatchAligner:
         from .xla import align_scores_kernel
 
         out = [np.zeros(len(t), dtype=np.int64) for _, t in items]
+        n_dev = 1 if self._mesh is None else int(self._mesh.devices.size)
 
         # per-row VPU op issue overhead dominates narrow batches (measured:
         # (256, 512) rows run ~8x below (1024, 512) rows per cell), so pick
@@ -318,7 +348,8 @@ class BatchAligner:
         def b_for(n_pad: int) -> int:
             planes_budget = 13 * 1024 * 1024 // 26
             b = planes_budget // n_pad // 256 * 256
-            return int(max(256, min(4096, b)))
+            b = int(max(256, min(4096, b)))
+            return min(b, self.b_cap) if self.b_cap else b
 
         # padded query codes per item; every launch builds its OWN small
         # concatenated buffer (<= G_CHUNK distinct queries) — the buffer is
@@ -374,7 +405,7 @@ class BatchAligner:
         for item_idx, chunk_idx, n_pad in xla_fallback:
             query_codes, targets = items[item_idx]
             b = self.batch
-            if q_lens[item_idx] <= 4096:
+            if q_lens[item_idx] <= 4096 and self.grouped_impl == "pallas":
                 # long-target chunked Mosaic kernel (column carries)
                 from .pallas_sw import sw_scores_pallas_grouped_long
 
@@ -386,19 +417,38 @@ class BatchAligner:
                     tg[0, r, : t.shape[0]] = t
                     tl[0, r] = t.shape[0]
                 m_cap = _length_rung(q_lens[item_idx], 512)
-                dev = sw_scores_pallas_grouped_long(
-                    jnp.asarray(q_chunks[item_idx]),
-                    jnp.zeros(1, jnp.int32),
-                    jnp.asarray(np.array([q_lens[item_idx]], np.int32)),
-                    jnp.asarray(tg),
-                    jnp.asarray(tl),
-                    matrix32,
-                    mode=self.mode,
-                    gap_open=self.scorer.gap_open,
-                    gap_extend=self.scorer.gap_extend,
-                    n_chunk=512,
-                    m_cap=m_cap,
-                )
+                if self._mesh is not None:
+                    from ..parallel.sharded import make_grouped_long_sharded
+
+                    long_fn = make_grouped_long_sharded(
+                        self._mesh,
+                        mode=self.mode,
+                        gap_open=self.scorer.gap_open,
+                        gap_extend=self.scorer.gap_extend,
+                        n_chunk=512,
+                        m_cap=m_cap,
+                    )
+                    dev = long_fn(
+                        jnp.asarray(q_chunks[item_idx]),
+                        jnp.zeros(1, jnp.int32),
+                        jnp.asarray(np.array([q_lens[item_idx]], np.int32)),
+                        tg, tl, matrix32,
+                    )
+                else:
+                    dev = sw_scores_pallas_grouped_long(
+                        jnp.asarray(q_chunks[item_idx]),
+                        jnp.zeros(1, jnp.int32),
+                        jnp.asarray(np.array([q_lens[item_idx]], np.int32)),
+                        jnp.asarray(tg),
+                        jnp.asarray(tl),
+                        matrix32,
+                        mode=self.mode,
+                        gap_open=self.scorer.gap_open,
+                        gap_extend=self.scorer.gap_extend,
+                        n_chunk=512,
+                        m_cap=m_cap,
+                    )
+                self.launches += 1
                 devs.append((dev, b, [(item_idx, chunk_idx)]))
                 continue
             # extreme query lengths: portable XLA scan
@@ -408,16 +458,27 @@ class BatchAligner:
                 t = targets[i]
                 tc[r, : t.shape[0]] = t
                 tl[r] = t.shape[0]
-            dev = align_scores_kernel(
-                jnp.asarray(q_chunks[item_idx]),
-                jnp.int32(q_lens[item_idx]),
-                jnp.asarray(tc),
-                jnp.asarray(tl),
-                matrix32,
-                mode=self.mode,
-                gap_open=self.scorer.gap_open,
-                gap_extend=self.scorer.gap_extend,
-            )
+            if self._mesh is not None:
+                from ..parallel.sharded import shard_batch
+
+                t_dev, l_dev = shard_batch(self._mesh, tc, tl)
+                dev = self._sharded_xla_fn()(
+                    jnp.asarray(q_chunks[item_idx]),
+                    jnp.int32(q_lens[item_idx]),
+                    t_dev, l_dev, matrix32,
+                )
+            else:
+                dev = align_scores_kernel(
+                    jnp.asarray(q_chunks[item_idx]),
+                    jnp.int32(q_lens[item_idx]),
+                    jnp.asarray(tc),
+                    jnp.asarray(tl),
+                    matrix32,
+                    mode=self.mode,
+                    gap_open=self.scorer.gap_open,
+                    gap_extend=self.scorer.gap_extend,
+                )
+            self.launches += 1
             devs.append((dev.reshape(1, b), b, [(item_idx, chunk_idx)]))
         # two fixed grid sizes per bucket shape (small jobs avoid padding a
         # 64-group launch; big jobs amortize the ~30 ms launch RPC over 64
@@ -435,7 +496,9 @@ class BatchAligner:
 
         launch_args = []
         for (n_pad, B), groups in sorted(buckets.items()):
-            G_CHUNK = 8 if len(groups) <= 8 else 64
+            # grid size must divide across the mesh: each device runs
+            # G_CHUNK / n_dev complete groups of the same launch
+            G_CHUNK = _round_up(8 if len(groups) <= 8 * n_dev else 64, n_dev)
             for gpos in range(0, len(groups), G_CHUNK):
                 part = groups[gpos : gpos + G_CHUNK]
                 if native_lib is not None:
@@ -511,19 +574,48 @@ class BatchAligner:
         # GIL, so concurrent dispatches overlap (~10% measured)
         def _launch(entry):
             (q_local, go, gl, tg, tl), max_qlen, B, part = entry
-            dev = sw_scores_pallas_grouped(
-                jnp.asarray(q_local),
-                jnp.asarray(go),
-                jnp.asarray(gl),
-                jnp.asarray(tg),
-                jnp.asarray(tl),
-                matrix32,
-                mode=self.mode,
-                gap_open=self.scorer.gap_open,
-                gap_extend=self.scorer.gap_extend,
-                max_qlen=max_qlen,
-                max_sub=int(self.scorer.matrix.max()),
-            )
+            self.launches += 1
+            if self._mesh is not None:
+                from ..parallel.sharded import make_grouped_sharded
+
+                fn = make_grouped_sharded(
+                    self._mesh,
+                    mode=self.mode,
+                    gap_open=self.scorer.gap_open,
+                    gap_extend=self.scorer.gap_extend,
+                    max_qlen=max_qlen,
+                    max_sub=int(self.scorer.matrix.max()),
+                    kernel=self.grouped_impl,
+                )
+                dev = fn(
+                    jnp.asarray(q_local), jnp.asarray(go), jnp.asarray(gl),
+                    tg, tl, matrix32,
+                )
+            elif self.grouped_impl == "xla":
+                from .xla import align_scores_grouped_kernel
+
+                dev = align_scores_grouped_kernel(
+                    jnp.asarray(q_local), jnp.asarray(go), jnp.asarray(gl),
+                    jnp.asarray(tg), jnp.asarray(tl), matrix32,
+                    mode=self.mode,
+                    gap_open=self.scorer.gap_open,
+                    gap_extend=self.scorer.gap_extend,
+                    m_window=max_qlen,
+                )
+            else:
+                dev = sw_scores_pallas_grouped(
+                    jnp.asarray(q_local),
+                    jnp.asarray(go),
+                    jnp.asarray(gl),
+                    jnp.asarray(tg),
+                    jnp.asarray(tl),
+                    matrix32,
+                    mode=self.mode,
+                    gap_open=self.scorer.gap_open,
+                    gap_extend=self.scorer.gap_extend,
+                    max_qlen=max_qlen,
+                    max_sub=int(self.scorer.matrix.max()),
+                )
             return dev, B, part
 
         import jax

@@ -160,3 +160,49 @@ def align_scores(
 align_scores_kernel = partial(
     jax.jit, static_argnames=("mode", "gap_open", "gap_extend")
 )(align_scores)
+
+
+def align_scores_grouped(
+    q_codes_all: jnp.ndarray,   # (Qm,) int32 concatenated padded queries
+    q_offsets: jnp.ndarray,     # (G,) int32
+    q_lens: jnp.ndarray,        # (G,) int32
+    targets: jnp.ndarray,       # (G, B, N) int8/int32 codes
+    target_lens: jnp.ndarray,   # (G, B) int32
+    matrix32: jnp.ndarray,      # (32, 32) int32
+    *,
+    mode: str = "SW",
+    gap_open: int = 10,
+    gap_extend: int = 1,
+    m_window: int = 0,
+) -> jnp.ndarray:
+    """Portable twin of ``sw_scores_pallas_grouped``: same signature and
+    exact integer scores, built on the XLA row scan.  Serves as the
+    CPU-testable grouped backend (Mosaic interpret mode under shard_map is
+    pathologically slow on CPU) and as a grouped fallback where Pallas is
+    unavailable.  Safe with uninitialized target tails: columns past a
+    target's length never influence extracted scores (left-to-right DP +
+    length-masked extraction).
+
+    ``m_window`` (static) bounds the per-group row scan: the launch's
+    ladder-bucketed max query length (every q_lens[g] must be <= m_window).
+    0 scans the whole concatenated buffer."""
+
+    def one_group(off, qlen, t, tl):
+        # bring this group's query to the front; rows past qlen are inert
+        q = jnp.roll(q_codes_all, -off)
+        if m_window and m_window < q.shape[0]:
+            q = q[:m_window]
+        return align_scores(
+            q, qlen, t.astype(jnp.int32), tl, matrix32,
+            mode=mode, gap_open=gap_open, gap_extend=gap_extend,
+        )
+
+    return jax.vmap(one_group)(
+        q_offsets.astype(jnp.int32), q_lens.astype(jnp.int32),
+        targets, target_lens.astype(jnp.int32),
+    )
+
+
+align_scores_grouped_kernel = partial(
+    jax.jit, static_argnames=("mode", "gap_open", "gap_extend", "m_window")
+)(align_scores_grouped)
