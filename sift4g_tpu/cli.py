@@ -31,7 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-e", "--gap-extend", type=int, default=1,
                    help="gap extension penalty (default: 1; must be <= gap-open)")
     p.add_argument("--matrix", default="BLOSUM_62",
-                   help="similarity matrix: BLOSUM_45/50/62/80/90 (default: BLOSUM_62)")
+                   help="similarity matrix: BLOSUM_30/45/50/62/70/80/90/250 "
+                   "(default: BLOSUM_62; BLOSUM_250 is the published PAM250 "
+                   "table — no BLOSUM250 exists in the literature)")
     p.add_argument("--evalue", type=float, default=0.0001,
                    help="evalue threshold; higher-evalue alignments are filtered")
     p.add_argument("--max-aligns", type=int, default=400,
@@ -65,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "Pallas kernel on TPU, the XLA scan elsewhere)")
     p.add_argument("--timings", action="store_true",
                    help="print per-phase wall-clock and throughput counters")
+    p.add_argument("--platform", default="auto",
+                   help="JAX platform to target (e.g. cpu, tpu). Needed "
+                   "because some deployments pin JAX_PLATFORMS at "
+                   "interpreter startup, which silently overrides the "
+                   "caller's environment; this flag retargets via "
+                   "jax.config before any device is initialized")
     from . import __version__
 
     p.add_argument("--version", action="version",
@@ -78,6 +86,14 @@ def main(argv=None) -> int:
     def fail(msg: str) -> int:
         print(f"error: {msg}", file=sys.stderr)
         return -1
+
+    if args.platform != "auto":
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", args.platform)
+        except Exception as exc:
+            return fail(f"cannot select platform '{args.platform}': {exc}")
 
     if os.path.isdir(args.query):
         query_files = sorted(
