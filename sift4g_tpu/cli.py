@@ -95,6 +95,11 @@ def main(argv=None) -> int:
         except Exception as exc:
             return fail(f"cannot select platform '{args.platform}': {exc}")
 
+    # multi-host job? (SIFT4G_COORDINATOR / _NUM_PROCESSES / _PROCESS_ID)
+    from .parallel.multihost import init_distributed_from_env
+
+    host_ctx = init_distributed_from_env()
+
     if os.path.isdir(args.query):
         query_files = sorted(
             os.path.join(args.query, f)
@@ -134,11 +139,11 @@ def main(argv=None) -> int:
     for query_path in query_files:
         if len(query_files) > 1:
             print(f"** Processing query file: {query_path} **", file=sys.stderr)
-        _run_one(args, query_path)
+        _run_one(args, query_path, host_ctx)
     return 0
 
 
-def _run_one(args, query_path: str) -> None:
+def _run_one(args, query_path: str, host_ctx=None) -> None:
     cfg = PipelineConfig(
         query_path=query_path,
         database_path=args.database,
@@ -160,7 +165,12 @@ def _run_one(args, query_path: str) -> None:
         timings=args.timings,
         threads=args.threads,
     )
-    run_pipeline(cfg)
+    if host_ctx is not None:
+        from .parallel.multihost import run_pipeline_multihost
+
+        run_pipeline_multihost(cfg, host_ctx)
+    else:
+        run_pipeline(cfg)
 
 
 if __name__ == "__main__":

@@ -50,12 +50,16 @@ class PyFastaStream:
     swsharp ``readFastaChainsPart`` returning 0 at EOF).
     """
 
-    def __init__(self, path: str, buffer_size: int = 1 << 22):
+    def __init__(self, path: str, buffer_size: int = 1 << 22,
+                 record_range: Optional[Tuple[int, int]] = None):
         self._fh = open(path, "rb")
         self._buffered = io.BufferedReader(self._fh, buffer_size)
         self._pending_name: Optional[str] = None
         self._pending_parts: List[bytes] = []
         self._eof = False
+        # multi-host shard: emit only records with index in [lo, hi)
+        self._lo, self._hi = record_range if record_range else (0, 1 << 62)
+        self._rec = -1  # index of the record currently being accumulated
 
     def close(self) -> None:
         self._buffered.close()
@@ -86,6 +90,13 @@ class PyFastaStream:
             if line.startswith(b">"):
                 if self._pending_name is not None:
                     budget -= self._emit(chains)
+                self._rec += 1
+                if self._rec >= self._hi:
+                    self._eof = True
+                    return False
+                if self._rec < self._lo:
+                    self._pending_name = None  # out-of-shard: skip record
+                    continue
                 header = line[1:].decode("utf-8", errors="replace").strip()
                 self._pending_name = header.split()[0] if header else ""
                 if budget <= 0:
@@ -193,7 +204,7 @@ class CachedFastaStream:
 
     MAGIC = b"S4GC0003"
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, record_range: Optional[Tuple[int, int]] = None):
         # layout: MAGIC(8) | n_codes u64 | raw u8 codes | npy(offsets) |
         # npy(names blob).  The codes payload is raw bytes at a fixed
         # offset (16) — memory-mapped, so a UniRef90-scale cache costs no
@@ -217,7 +228,11 @@ class CachedFastaStream:
         n = self._offsets.shape[0] - 1
         if len(self._names) < n:  # all-empty-name edge: join/split collapses
             self._names += [""] * (n - len(self._names))
-        self._pos = 0
+        # multi-host shard: serve only records [lo, hi) (seek is free — the
+        # cache is an offsets array over mmap-backed codes)
+        self._lo, self._hi = record_range if record_range else (0, n)
+        self._hi = min(self._hi, n)
+        self._pos = self._lo
 
     @classmethod
     def write_cache(cls, cache_path: str, codes, offsets, names) -> None:
@@ -237,7 +252,7 @@ class CachedFastaStream:
         self.close()
 
     def read_part_arrays(self, max_residues: int):
-        n = self._offsets.shape[0] - 1
+        n = self._hi
         start = self._pos
         budget = max_residues
         i = start
@@ -269,7 +284,10 @@ class CacheWriter:
 
     def __init__(self, cache_path: str):
         self._final = cache_path
-        self._tmp = cache_path + ".tmp"
+        # pid suffix: concurrent builders (multi-host processes sharing a
+        # filesystem) must not clobber each other's partial writes; the
+        # os.replace on close stays atomic either way
+        self._tmp = f"{cache_path}.tmp.{os.getpid()}"
         self._fh = open(self._tmp, "wb")
         self._fh.write(CachedFastaStream.MAGIC)
         self._fh.write((0).to_bytes(8, "little"))  # patched on close
@@ -319,9 +337,12 @@ class ChunkStore:
     and serves code slices / names by global index.
     """
 
-    def __init__(self):
+    def __init__(self, start: int = 0):
+        # ``start``: global index of the first appended record (nonzero for
+        # multi-host database shards, mirroring the chunk-offset bookkeeping
+        # of reference database_search.cpp:208)
         self._parts = []   # (codes, offsets, names, global_start)
-        self.count = 0
+        self.count = start
 
     def append_part(self, codes, offsets, names) -> None:
         self._parts.append((codes, offsets, names, self.count))
@@ -398,12 +419,17 @@ def build_fasta_cache(path: str) -> str:
     return cp
 
 
-def FastaStream(path: str, buffer_size: int = 1 << 22, use_cache: bool = True):
+def FastaStream(path: str, buffer_size: int = 1 << 22, use_cache: bool = True,
+                record_range: Optional[Tuple[int, int]] = None):
     """Open a streaming FASTA reader.
 
     Preference order: fresh binary parse cache (one-time cost amortized —
     the pipeline streams the database twice per run, search then align) >
     native C++ parser > pure Python.
+
+    ``record_range=(lo, hi)`` serves only that record-index slice — the
+    multi-host database shard (docs/MULTIHOST.md).  Free seek with the
+    cache; the Python parser skims and skips otherwise.
     """
     if use_cache and not os.environ.get("SIFT4G_TPU_NO_FASTA_CACHE"):
         cp = _cache_path(path)
@@ -414,24 +440,25 @@ def FastaStream(path: str, buffer_size: int = 1 << 22, use_cache: bool = True):
             ):
                 build_fasta_cache(path)
             try:
-                return CachedFastaStream(cp)
+                return CachedFastaStream(cp, record_range=record_range)
             except ValueError:
                 # stale format (magic mismatch): rebuild once
                 build_fasta_cache(path)
-                return CachedFastaStream(cp)
+                return CachedFastaStream(cp, record_range=record_range)
         except (OSError, ValueError):
             pass  # unwritable directory / corrupt cache: stream directly
-    from .. import native as _native
+    if record_range is None:
+        from .. import native as _native
 
-    lib = _native.load()
-    if lib is not None:
-        try:
-            return NativeFastaStream(path, lib=lib)
-        except FileNotFoundError:
-            raise
-        except RuntimeError:
-            pass
-    return PyFastaStream(path, buffer_size)
+        lib = _native.load()
+        if lib is not None:
+            try:
+                return NativeFastaStream(path, lib=lib)
+            except FileNotFoundError:
+                raise
+            except RuntimeError:
+                pass
+    return PyFastaStream(path, buffer_size, record_range=record_range)
 
 
 def read_fasta(path: str) -> List[Chain]:

@@ -49,6 +49,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.sift4g_search_collect.argtypes = [ctypes.c_void_p, c_i64_p]
     lib.sift4g_search_destroy.restype = None
     lib.sift4g_search_destroy.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "sift4g_search_collect_scored"):  # stale .so tolerance
+        lib.sift4g_search_collect_scored.restype = None
+        lib.sift4g_search_collect_scored.argtypes = [
+            ctypes.c_void_p, c_i64_p, ctypes.POINTER(ctypes.c_float),
+        ]
 
     lib.sift4g_fasta_open.restype = ctypes.c_void_p
     lib.sift4g_fasta_open.argtypes = [ctypes.c_char_p]

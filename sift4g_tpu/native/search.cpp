@@ -228,6 +228,23 @@ void sift4g_search_collect(void* handle, int64_t* out_ids) {
   }
 }
 
+// Flat per-query (id, score) pairs in (score desc, id asc) order — the
+// in-context order after the end-of-chunk sort/truncate.  Multi-host runs
+// merge per-shard candidate lists with the same total order, so shard
+// merges reproduce the single-process top-k exactly.
+void sift4g_search_collect_scored(void* handle, int64_t* out_ids,
+                                  float* out_scores) {
+  auto* ctx = static_cast<SearchCtx*>(handle);
+  int64_t w = 0;
+  for (int q = 0; q < ctx->n_queries; ++q) {
+    for (auto& c : ctx->cands[q]) {
+      out_ids[w] = c.id;
+      out_scores[w] = c.score;
+      ++w;
+    }
+  }
+}
+
 void sift4g_search_destroy(void* handle) {
   delete static_cast<SearchCtx*>(handle);
 }

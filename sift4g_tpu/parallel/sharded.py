@@ -36,8 +36,13 @@ DB_AXIS = "db"
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = DB_AXIS) -> Mesh:
-    """1-D device mesh over the database axis."""
-    devices = jax.devices()
+    """1-D device mesh over the database axis.
+
+    LOCAL devices only: in a multi-host run each host scores its own
+    database shard on its own chips (docs/MULTIHOST.md) — cross-host
+    merging is an explicit O(k) exchange, never a global scoring mesh.
+    Single-process runs see no difference."""
+    devices = jax.local_devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
@@ -242,9 +247,10 @@ def make_2d_mesh(n_devices: Optional[int] = None, q_axis: str = "q", axis: str =
     """2-D mesh: data-parallel query axis x database-shard axis.
 
     Factors the device count as (2, n/2) when even so both axes are
-    exercised; a single device degenerates to (1, 1).
+    exercised; a single device degenerates to (1, 1).  Local devices only
+    (see make_mesh).
     """
-    devices = jax.devices()
+    devices = jax.local_devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)

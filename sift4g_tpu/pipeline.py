@@ -98,18 +98,23 @@ def align_database(
     chunk_bytes: int = ALIGN_CHUNK_BYTES,
     log=sys.stderr,
     metrics: Optional[PhaseMetrics] = None,
+    record_range=None,
 ) -> List[List[AlignmentRecord]]:
     """Returns per-query alignment records, best-first (score desc,
     database index asc on ties — deterministic refinement of the
-    reference's unstable ordering, quirk Q4)."""
+    reference's unstable ordering, quirk Q4).
+
+    ``record_range=(lo, hi)``: multi-host shard — streams only that record
+    slice; the caller passes candidate ``indices`` already restricted to
+    the shard (ids stay global)."""
     print("** Aligning queries with candidate sequences **", file=log)
     aligner = BatchAligner(scorer, mode=mode, backend=backend)
 
     results: List[List[AlignmentRecord]] = [[] for _ in queries]
     remaining = [list(ix) for ix in indices]
 
-    store = ChunkStore()
-    with FastaStream(database_path) as fs:
+    store = ChunkStore(start=record_range[0] if record_range else 0)
+    with FastaStream(database_path, record_range=record_range) as fs:
         more, codes0, offsets0, names0 = fs.read_part_arrays(chunk_bytes)
         store.append_part(codes0, offsets0, names0)
         while True:
@@ -250,6 +255,23 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
             metrics=metrics,
         )
 
+    finish_pipeline(cfg, queries, records, metrics)
+    return queries
+
+
+def finish_pipeline(
+    cfg: PipelineConfig,
+    queries: List[Chain],
+    records: List[List[AlignmentRecord]],
+    metrics: Optional[PhaseMetrics] = None,
+) -> None:
+    """Post-align stages: sub-results, selection, prediction, reports.
+
+    Shared by the single-process pipeline and the multi-host harness
+    (host 0 only — reference single-process output semantics)."""
+    log = cfg.log
+    if metrics is None:
+        metrics = PhaseMetrics(log=log, enabled=cfg.timings)
     if cfg.sub_results:
         path = create_file_name("alignments", cfg.out_path, ".txt")
         write_alignments_report(records, queries, path, cfg.out_format)
@@ -300,4 +322,3 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
     with metrics.phase("predict"):
         _query_fanout(_predict_one, len(queries), cfg.threads, log)
     metrics.report()
-    return queries

@@ -118,7 +118,9 @@ def _search_database_native(
     chunk_bytes: int,
     log,
     threads: int = 0,
-) -> Tuple[List[np.ndarray], int]:
+    record_range=None,
+    return_scored: bool = False,
+):
     """All-native chunk loop: C++ FASTA streaming feeding the C++ k-mer/LIS
     engine, no per-sequence Python objects (native/search.cpp)."""
     import ctypes
@@ -144,11 +146,11 @@ def _search_database_native(
         max(int(threads), 0),
     )
     total_cells = 0
-    consumed = 0
+    consumed = record_range[0] if record_range else 0
     try:
         # the factory prefers the binary parse cache, then the C++ parser;
         # both expose the zero-object read_part_arrays fast path
-        with FastaStream(database_path) as fs:
+        with FastaStream(database_path, record_range=record_range) as fs:
             more = True
             part = 1
             while more:
@@ -168,13 +170,30 @@ def _search_database_native(
         counts = np.empty(len(queries), dtype=np.int64)
         lib.sift4g_search_counts(ctx, counts.ctypes.data_as(i64p))
         flat = np.empty(max(int(counts.sum()), 1), dtype=np.int64)
-        lib.sift4g_search_collect(ctx, flat.ctypes.data_as(i64p))
         bounds = np.concatenate(([0], np.cumsum(counts)))
-        indices = [
-            flat[bounds[i] : bounds[i + 1]].copy() for i in range(len(queries))
-        ]
+        scored = None
+        if return_scored:
+            fscores = np.empty(max(int(counts.sum()), 1), dtype=np.float32)
+            lib.sift4g_search_collect_scored(
+                ctx, flat.ctypes.data_as(i64p),
+                fscores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            # per query in (score desc, id asc) order
+            scored = [
+                (fscores[bounds[i] : bounds[i + 1]].copy(),
+                 flat[bounds[i] : bounds[i + 1]].copy())
+                for i in range(len(queries))
+            ]
+            indices = [np.sort(ids) for _, ids in scored]
+        else:
+            lib.sift4g_search_collect(ctx, flat.ctypes.data_as(i64p))
+            indices = [
+                flat[bounds[i] : bounds[i + 1]].copy() for i in range(len(queries))
+            ]
     finally:
         lib.sift4g_search_destroy(ctx)
+    if return_scored:
+        return indices, int(total_cells), scored
     return indices, int(total_cells)
 
 
@@ -186,22 +205,31 @@ def search_database(
     chunk_bytes: int = SEARCH_CHUNK_BYTES,
     log=sys.stderr,
     threads: int = 0,
-) -> Tuple[List[np.ndarray], int]:
+    record_range=None,
+    return_scored: bool = False,
+):
     """Returns (per-query ascending candidate db indices, total db residues).
 
     ``threads`` bounds the native engine's worker count (the reference
     threads the search with its -t pool, database_search.cpp:101-123);
     0 means hardware concurrency.  Candidate sets are independent of the
-    thread count (property-tested)."""
+    thread count (property-tested).
+
+    Multi-host extras: ``record_range=(lo, hi)`` scans only that database
+    shard (candidate ids stay GLOBAL); ``return_scored`` additionally
+    returns per-query (scores, ids) in (score desc, id asc) order so
+    per-shard top-k lists merge under the same total order the
+    single-process truncate uses (quirk Q3/Q4 refinement)."""
     print("** Searching database for candidate sequences **", file=log)
 
     from .. import native
 
     lib = native.load()
-    if lib is not None:
+    if lib is not None and (not return_scored or hasattr(lib, "sift4g_search_collect_scored")):
         return _search_database_native(
             lib, database_path, queries, kmer_length, max_candidates, chunk_bytes,
-            log, threads=threads,
+            log, threads=threads, record_range=record_range,
+            return_scored=return_scored,
         )
 
     qhash = QueryKmerHash([q.codes for q in queries], kmer_length)
@@ -209,15 +237,16 @@ def search_database(
 
     total_cells = 0
     chains: List[Chain] = []
-    consumed = 0
-    with FastaStream(database_path) as fs:
+    consumed = 0                                        # local list position
+    offset = record_range[0] if record_range else 0     # global index base
+    with FastaStream(database_path, record_range=record_range) as fs:
         more = True
         part = 1
         while more:
             more = fs.read_part(chains, chunk_bytes)
             chunk = chains[consumed:]
             total_cells += _score_chunk_numpy(
-                qhash, [c.codes for c in chunk], consumed, topks, kmer_length
+                qhash, [c.codes for c in chunk], offset + consumed, topks, kmer_length
             )
             consumed = len(chains)
             # drop residue data of the processed chunk (the alignment phase
@@ -231,4 +260,11 @@ def search_database(
             part += 1
 
     indices = [np.sort(np.asarray(t.ids, dtype=np.int64)) for t in topks]
+    if return_scored:
+        scored = [
+            (np.asarray(t.scores, dtype=np.float32),
+             np.asarray(t.ids, dtype=np.int64))
+            for t in topks
+        ]
+        return indices, total_cells, scored
     return indices, total_cells
