@@ -75,6 +75,58 @@ def test_multihost_bundled_testset_matches_goldens(tmp_path):
         assert filecmp.cmp(got, want, shallow=False), f"{name} differs"
 
 
+def test_shard_merge_equals_single_process_candidates(tmp_path):
+    """Single-process unit test (no subprocesses): sharded prefilter +
+    _merge_candidates reproduces the unsharded candidate sets exactly, for
+    every host count — the determinism the subprocess tests rely on."""
+    import numpy as np
+
+    from sift4g_tpu.io.fasta import read_fasta
+    from sift4g_tpu.parallel.multihost import (
+        _merge_candidates,
+        shard_record_ranges,
+    )
+    from sift4g_tpu.prefilter.search import search_database
+
+    rng = np.random.default_rng(7)
+    aas = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", dtype=np.uint8)
+    db = tmp_path / "db.fa"
+    with open(db, "wb") as fh:
+        for i in range(300):
+            seq = rng.choice(aas, size=int(rng.integers(40, 300))).tobytes()
+            fh.write(b">s%d\n%s\n" % (i, seq))
+    q = tmp_path / "q.fa"
+    with open(q, "wb") as fh:
+        for i in range(3):
+            seq = rng.choice(aas, size=120).tobytes()
+            fh.write(b">q%d\n%s\n" % (i, seq))
+    queries = read_fasta(str(q))
+    devnull = open(os.devnull, "w")
+
+    want, want_cells = search_database(
+        str(db), queries, max_candidates=50, log=devnull
+    )
+
+    for n_hosts in (2, 3):
+        ranges = shard_record_ranges(str(db), n_hosts)
+        assert ranges[0][0] == 0 and ranges[-1][1] == 300
+        assert all(ranges[h][1] == ranges[h + 1][0] for h in range(n_hosts - 1))
+        per_host, cells = [], 0
+        for lo, hi in ranges:
+            _ix, c, scored = search_database(
+                str(db), queries, max_candidates=50, log=devnull,
+                record_range=(lo, hi), return_scored=True,
+            )
+            cells += c
+            per_host.append(scored)
+            for _s, ids in scored:  # shard ids are global and in-shard
+                assert ((ids >= lo) & (ids < hi)).all()
+        merged = _merge_candidates(per_host, len(queries), 50)
+        assert cells == want_cells
+        for got_q, want_q in zip(merged, want):
+            assert np.array_equal(got_q, want_q)
+
+
 def test_multihost_synthetic_db_matches_single_process(tmp_path):
     """Sharded 2-host run == single-process run on a synthetic database
     (sub-results on, so the alignment report's scores/coords/order are
@@ -83,7 +135,7 @@ def test_multihost_synthetic_db_matches_single_process(tmp_path):
     subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(os.path.dirname(DRIVER)),
                                       "tools", "make_synthetic_db.py"),
-         str(data), "--n-db", "4000", "--n-q", "4", "--mean-len", "220"],
+         str(data), "--n-db", "20000", "--n-q", "4", "--mean-len", "220"],
         check=True, capture_output=True,
         cwd=os.path.dirname(os.path.dirname(DRIVER)),
     )
