@@ -17,7 +17,12 @@ Format fidelity targets (reference citations):
 * ``write_alignments_report`` — swsharp ``outputShotgunDatabase`` formats
   bm0/bm8/bm9/light (main.cpp:44-49,340-346).  swsharp's exact renderer is
   absent from the snapshot; bm8/bm9 follow standard BLAST tabular
-  conventions, ``light`` is score-name pairs, bm0 is a simple pairwise view.
+  conventions, ``light`` is score-name pairs, and bm0 renders the classic
+  BLAST m0 pairwise report: per-target ``Score/Expect`` + ``Identities/
+  Positives/Gaps`` stanzas followed by 60-column Query/midline/Sbjct
+  blocks with 1-based residue coordinates (gaps do not advance them) and
+  the NCBI midline convention — the letter on identity, ``+`` on a
+  positive substitution score, blank otherwise.
 """
 
 from __future__ import annotations
@@ -148,16 +153,80 @@ def write_selected_alignments(
                 _write_wrapped(fp, aln.letters)
 
 
+def _write_blast_m0(fp, query: Chain, rec, matrix: np.ndarray) -> None:
+    """One BLAST m0 pairwise stanza (swsharp outputDatabase's ``bm0``)."""
+    q_str, t_str = rec.render_strings()
+    n = len(q_str)
+    idents = positives = gaps = 0
+    mid = []
+    for qc, tc in zip(q_str, t_str):
+        if qc == "-" or tc == "-":
+            gaps += 1
+            mid.append(" ")
+        elif qc == tc:
+            idents += 1
+            positives += 1
+            mid.append(qc)
+        elif matrix[ord(qc) - ord("A"), ord(tc) - ord("A")] > 0:
+            positives += 1
+            mid.append("+")
+        else:
+            mid.append(" ")
+    midline = "".join(mid)
+
+    fp.write(f">{rec.target_name}\n")
+    fp.write(f"Length={len(rec.target_codes)}\n\n")
+    fp.write(f" Score = {rec.score},  Expect = {rec.evalue:.2g}\n")
+
+    def pct(x: int) -> int:
+        return int(round(100.0 * x / n)) if n else 0
+
+    fp.write(
+        f" Identities = {idents}/{n} ({pct(idents)}%), "
+        f"Positives = {positives}/{n} ({pct(positives)}%), "
+        f"Gaps = {gaps}/{n} ({pct(gaps)}%)\n\n"
+    )
+
+    width = max(len(str(rec.query_end + 1)), len(str(rec.target_end + 1)))
+    qpos, tpos = rec.query_start, rec.target_start  # 0-based next residue
+    for off in range(0, n, 60):
+        qb, tb, mb = q_str[off:off + 60], t_str[off:off + 60], midline[off:off + 60]
+        q_adv = sum(c != "-" for c in qb)
+        t_adv = sum(c != "-" for c in tb)
+        # 1-based block coordinates; an all-gap block repeats the previous
+        # residue coordinate on both ends (NCBI behaviour)
+        q_from = qpos + 1 if q_adv else qpos
+        t_from = tpos + 1 if t_adv else tpos
+        qpos += q_adv
+        tpos += t_adv
+        fp.write(f"Query  {q_from:<{width}}  {qb}  {qpos}\n")
+        fp.write(f"       {'':{width}}  {mb}\n")
+        fp.write(f"Sbjct  {t_from:<{width}}  {tb}  {tpos}\n\n")
+    fp.write("\n")
+
+
 def write_alignments_report(
     alignments_per_query,  # List[List[AlignmentRecord]]
     queries: List[Chain],
     path: str,
     out_format: str,
+    scorer=None,
 ) -> None:
-    """Alignment report in bm0/bm8/bm9/light format (main.cpp:44-49)."""
+    """Alignment report in bm0/bm8/bm9/light format (main.cpp:44-49).
+
+    ``scorer`` feeds the bm0 midline's Positives test (positive
+    substitution score); BLOSUM_62 when omitted."""
+    if out_format == "bm0":
+        if scorer is None:
+            from ..core.scorers import create_scorer
+
+            scorer = create_scorer("BLOSUM_62")
+        m0_matrix = scorer.matrix
     with open(path, "w") as fp:
         for qi, query in enumerate(queries):
             alns = alignments_per_query[qi]
+            if out_format == "bm0":
+                fp.write(f"Query= {query.name}\n\nLength={len(query)}\n\n")
             if out_format == "bm9":
                 fp.write(f"# Query: {query.name}\n")
                 fp.write(
@@ -176,14 +245,5 @@ def write_alignments_report(
                         f"{rec.target_start + 1}\t{rec.target_end + 1}\t"
                         f"{rec.evalue:.2e}\t{rec.score}\n"
                     )
-                else:  # bm0: simple pairwise rendering
-                    fp.write(
-                        f">{rec.target_name}\n  score={rec.score} "
-                        f"evalue={rec.evalue:.2e} query={rec.query_start + 1}-"
-                        f"{rec.query_end + 1} target={rec.target_start + 1}-"
-                        f"{rec.target_end + 1}\n"
-                    )
-                    q_str, t_str = rec.render_strings()
-                    for off in range(0, len(q_str), 60):
-                        fp.write(f"  Q: {q_str[off:off + 60]}\n")
-                        fp.write(f"  T: {t_str[off:off + 60]}\n\n")
+                else:  # bm0: BLAST m0 pairwise stanzas
+                    _write_blast_m0(fp, query, rec, m0_matrix)

@@ -274,7 +274,10 @@ def finish_pipeline(
         metrics = PhaseMetrics(log=log, enabled=cfg.timings)
     if cfg.sub_results:
         path = create_file_name("alignments", cfg.out_path, ".txt")
-        write_alignments_report(records, queries, path, cfg.out_format)
+        write_alignments_report(
+            records, queries, path, cfg.out_format,
+            scorer=create_scorer(cfg.matrix, cfg.gap_open, cfg.gap_extend),
+        )
 
     print(
         f"** Selecting alignments with median threshold: {cfg.median_threshold:.2f} **",
