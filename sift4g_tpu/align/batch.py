@@ -18,6 +18,7 @@ shard_map path (parallel/sharded.py).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Sequence
 
 import numpy as np
@@ -405,18 +406,28 @@ class BatchAligner:
         for item_idx, chunk_idx, n_pad in xla_fallback:
             query_codes, targets = items[item_idx]
             b = self.batch
-            if q_lens[item_idx] <= 4096 and self.grouped_impl == "pallas":
+            # long-query budget: the column-chunked kernel's edge carries are
+            # (2, m_cap+1, B) i32 x2, so B shrinks as the query grows instead
+            # of falling off the Pallas path (an 8k query fits B=256, Titin's
+            # 35k fits B=128); the XLA scan remains only for queries past
+            # ~300k aa where even B=8 would not fit the budget
+            m_cap = _length_rung(q_lens[item_idx], 512)
+            per_b = (
+                16 * (m_cap + 1)          # edge_h + edge_p carries (i32, x2 parity)
+                + 26 * 512                # substitution planes (int8, Nc=512)
+                + 3 * 512 * 4             # h/f/best scratch (i32)
+                + 512 * 4                 # target block upcast
+            )
+            b_unit = 8 * (1 if self._mesh is None else int(self._mesh.devices.size))
+            b_fit = (80 * 1024 * 1024 // per_b) // b_unit * b_unit
+            if self.grouped_impl == "pallas" and b_fit >= b_unit:
                 # long-target chunked Mosaic kernel (column carries)
                 from .pallas_sw import sw_scores_pallas_grouped_long
 
+                b = min(b, b_fit)
                 n512 = _length_rung(n_pad, 512)
-                tg = np.full((1, b, n512), PAD_CODE, dtype=np.int8)
-                tl = np.zeros((1, b), dtype=np.int32)
-                for r, i in enumerate(chunk_idx):
-                    t = targets[i]
-                    tg[0, r, : t.shape[0]] = t
-                    tl[0, r] = t.shape[0]
-                m_cap = _length_rung(q_lens[item_idx], 512)
+                q_dev = jnp.asarray(q_chunks[item_idx])
+                ql_dev = jnp.asarray(np.array([q_lens[item_idx]], np.int32))
                 if self._mesh is not None:
                     from ..parallel.sharded import make_grouped_long_sharded
 
@@ -428,28 +439,29 @@ class BatchAligner:
                         n_chunk=512,
                         m_cap=m_cap,
                     )
-                    dev = long_fn(
-                        jnp.asarray(q_chunks[item_idx]),
-                        jnp.zeros(1, jnp.int32),
-                        jnp.asarray(np.array([q_lens[item_idx]], np.int32)),
-                        tg, tl, matrix32,
-                    )
                 else:
-                    dev = sw_scores_pallas_grouped_long(
-                        jnp.asarray(q_chunks[item_idx]),
-                        jnp.zeros(1, jnp.int32),
-                        jnp.asarray(np.array([q_lens[item_idx]], np.int32)),
-                        jnp.asarray(tg),
-                        jnp.asarray(tl),
-                        matrix32,
+                    long_fn = partial(
+                        sw_scores_pallas_grouped_long,
                         mode=self.mode,
                         gap_open=self.scorer.gap_open,
                         gap_extend=self.scorer.gap_extend,
                         n_chunk=512,
                         m_cap=m_cap,
                     )
-                self.launches += 1
-                devs.append((dev, b, [(item_idx, chunk_idx)]))
+                for pos in range(0, len(chunk_idx), b):
+                    sub = chunk_idx[pos : pos + b]
+                    tg = np.full((1, b, n512), PAD_CODE, dtype=np.int8)
+                    tl = np.zeros((1, b), dtype=np.int32)
+                    for r, i in enumerate(sub):
+                        t = targets[i]
+                        tg[0, r, : t.shape[0]] = t
+                        tl[0, r] = t.shape[0]
+                    dev = long_fn(
+                        q_dev, jnp.zeros(1, jnp.int32), ql_dev,
+                        jnp.asarray(tg), jnp.asarray(tl), matrix32,
+                    )
+                    self.launches += 1
+                    devs.append((dev, b, [(item_idx, sub)]))
                 continue
             # extreme query lengths: portable XLA scan
             tc = np.full((b, n_pad), PAD_CODE, dtype=np.int32)

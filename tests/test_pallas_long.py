@@ -10,6 +10,41 @@ from sift4g_tpu.align.xla import PAD_CODE, _extend_matrix, align_scores_kernel
 from sift4g_tpu.core.scorers import create_scorer
 
 
+def test_8k_query_stays_on_pallas_path():
+    """VERDICT r1 item 6: queries past 4096 aa no longer drop to the XLA
+    scan — the column-chunked kernel's batch width shrinks to fit the
+    (2, m_cap+1, B) edge-carry VMEM budget instead.  An 8k query against
+    long targets routes through sw_scores_pallas_grouped_long (the XLA
+    scan stub raises if touched) and matches the NumPy oracle."""
+    import sift4g_tpu.align.xla as xla_mod
+    from sift4g_tpu.align.batch import BatchAligner
+    from sift4g_tpu.core.scorers import create_scorer
+
+    rng = np.random.default_rng(11)
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    q = rng.integers(0, 26, 8192).astype(np.uint8)
+    targets = [
+        rng.integers(0, 26, 2500).astype(np.uint8),  # past the planes budget
+        rng.integers(0, 26, 2600).astype(np.uint8),
+    ]
+    ref = BatchAligner(scorer, backend="numpy").scores_many([(q, targets)])[0]
+
+    real_scan = xla_mod.align_scores_kernel
+
+    def _no_scan(*a, **k):
+        raise AssertionError("8k query fell back to the XLA scan")
+
+    xla_mod.align_scores_kernel = _no_scan
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            al = BatchAligner(scorer, backend="pallas", batch=8)
+            al._mesh = None
+            got = al.scores_many([(q, targets)])[0]
+    finally:
+        xla_mod.align_scores_kernel = real_scan
+    np.testing.assert_array_equal(got, ref)
+
+
 @pytest.mark.parametrize("mode", ["SW", "NW", "HW", "OV"])
 def test_long_kernel_matches_xla(mode):
     from sift4g_tpu.align.pallas_sw import sw_scores_pallas_grouped_long

@@ -1,0 +1,168 @@
+"""Real-chip measurement harness: kernel A/B runs + VPU roofline probe.
+
+Subcommands (one per process — co-resident jitted programs can poison
+timing, docs/PLATFORM.md trap 3):
+
+* ``ab``       — grouped kernel at the bench shape with acc="int" then
+                 acc="i16": bit-parity assert + marginal GCUPS for both.
+* ``roofline`` — Pallas microkernel: M rounds of (add, max) on a VMEM-
+                 resident (B, N) i32 tile -> sustained VPU ops/s peak.
+* ``native``   — threaded C++ DP at the bench workload shape (m=360,
+                 n=512) -> the measured CPU baseline for bench.py.
+
+All timings follow the platform measurement rules: unique input per call,
+fetch-forced (np.asarray), SIGALRM deadline around compiles.
+"""
+
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+
+def _deadline(seconds):
+    import signal
+
+    def _raise(signum, frame):
+        raise TimeoutError(f"exceeded {seconds}s")
+
+    signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+
+
+def run_ab(groups=64, batch=1024, n=512, m=360, iters=6):
+    import jax.numpy as jnp
+
+    from sift4g_tpu.align.pallas_sw import PAD_CODE, sw_scores_pallas_grouped
+    from sift4g_tpu.align.xla import _extend_matrix
+    from sift4g_tpu.core.scorers import create_scorer
+
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    m32 = jnp.asarray(_extend_matrix(scorer.matrix))
+    rng = np.random.default_rng(42)
+
+    m_pad = -(-m // 64) * 64
+    q_all = np.full(groups * m_pad, PAD_CODE, dtype=np.int32)
+    for g in range(groups):
+        q_all[g * m_pad : g * m_pad + m] = rng.integers(0, 26, m)
+    q_off = (np.arange(groups) * m_pad).astype(np.int32)
+    q_len = np.full(groups, m, dtype=np.int32)
+    targets = [
+        jnp.asarray(rng.integers(0, 26, (groups, batch, n)).astype(np.int8))
+        for _ in range(iters + 1)
+    ]
+    lens = jnp.asarray(np.full((groups, batch), n, dtype=np.int32))
+    args = (jnp.asarray(q_all), jnp.asarray(q_off), jnp.asarray(q_len))
+    cells = groups * m * batch * n
+
+    out = {}
+    ref0 = None
+    for acc in ("int", "i16"):
+        call = lambda t: np.asarray(
+            sw_scores_pallas_grouped(
+                *args, t, lens, m32,
+                max_qlen=m_pad, max_sub=int(scorer.matrix.max()), acc=acc,
+            )
+        )
+        t0 = time.perf_counter()
+        got0 = call(targets[0])  # compile
+        compile_s = time.perf_counter() - t0
+        if ref0 is None:
+            ref0 = got0
+        else:
+            assert np.array_equal(ref0, got0), "i16 != int32 on hardware!"
+        times = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            _ = call(targets[i + 1])
+            times.append(time.perf_counter() - t0)
+        out[acc] = {
+            "gcups": round(cells / min(times) / 1e9, 2),
+            "all_gcups": [round(cells / t / 1e9, 2) for t in times],
+            "compile_s": round(compile_s, 1),
+        }
+        print(json.dumps({"acc": acc, **out[acc]}), flush=True)
+    print(json.dumps({"parity": "ok", **{k: v["gcups"] for k, v in out.items()}}))
+
+
+def run_roofline(B=1024, N=512, M=20000, iters=8):
+    """Peak VPU i32 throughput: fori_loop of (add, max) rounds on a
+    vreg/VMEM-resident tile — 2 elementwise i32 ops per element per round,
+    no HBM traffic inside the loop."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(seed_ref, out_ref):
+        x = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1) + seed_ref[0]
+
+        def body(i, x):
+            return jnp.maximum(x + 1, x ^ 1)
+
+        x = jax.lax.fori_loop(0, M, body, x, unroll=False)
+        out_ref[:] = jnp.max(x, axis=1, keepdims=True)
+
+    @jax.jit
+    def probe(seed):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(seed)
+
+    seeds = [jnp.asarray(np.array([i], np.int32)) for i in range(iters + 1)]
+    t0 = time.perf_counter()
+    _ = np.asarray(probe(seeds[0]))
+    compile_s = time.perf_counter() - t0
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        _ = np.asarray(probe(seeds[i + 1]))
+        times.append(time.perf_counter() - t0)
+    ops = 2 * B * N * M
+    best = min(times)
+    print(json.dumps({
+        "metric": "vpu_i32_tops",
+        "tops": round(ops / best / 1e12, 3),
+        "all_s": [round(t, 4) for t in times],
+        "compile_s": round(compile_s, 1),
+    }))
+
+
+def run_native(n_targets=2048, n=512, m=360):
+    from sift4g_tpu.align.batch import align_pairs_batch
+    from sift4g_tpu.core.scorers import create_scorer
+
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    rng = np.random.default_rng(42)
+    q = rng.integers(0, 26, m).astype(np.uint8)
+    targets = [rng.integers(0, 26, n).astype(np.uint8) for _ in range(n_targets)]
+    align_pairs_batch(q, targets[:8], scorer, "SW")  # warm
+    t0 = time.perf_counter()
+    align_pairs_batch(q, targets, scorer, "SW")
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "native_cpu_gcups",
+        "gcups": round(m * n * n_targets / dt / 1e9, 3),
+    }))
+
+
+def main():
+    cmd = sys.argv[1]
+    _deadline(int(sys.argv[2]) if len(sys.argv) > 2 else 1800)
+    if cmd == "ab":
+        run_ab()
+    elif cmd == "roofline":
+        run_roofline()
+    elif cmd == "native":
+        run_native()
+    else:
+        raise SystemExit(f"unknown: {cmd}")
+
+
+if __name__ == "__main__":
+    main()
