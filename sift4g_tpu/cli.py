@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "Pallas kernel on TPU, the XLA scan elsewhere)")
     p.add_argument("--timings", action="store_true",
                    help="print per-phase wall-clock and throughput counters")
+    p.add_argument("--overlap", default="auto", choices=["auto", "on", "off"],
+                   help="overlap the prefilter scan with device scoring "
+                   "(default: auto — on when an accelerator, the parse "
+                   "cache and the native engine are all present)")
     p.add_argument("--platform", default="auto",
                    help="JAX platform to target (e.g. cpu, tpu). Needed "
                    "because some deployments pin JAX_PLATFORMS at "
@@ -164,6 +168,7 @@ def _run_one(args, query_path: str, host_ctx=None) -> None:
         align_backend=args.backend,
         timings=args.timings,
         threads=args.threads,
+        overlap=args.overlap,
     )
     if host_ctx is not None:
         from .parallel.multihost import run_pipeline_multihost

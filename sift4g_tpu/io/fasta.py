@@ -242,6 +242,14 @@ class CachedFastaStream:
     def n_sequences(self) -> int:
         return self._offsets.shape[0] - 1
 
+    def codes_at(self, idx: int) -> np.ndarray:
+        """Random access (zero-copy mmap view) — the overlapped pipeline's
+        end-of-run traceback fetches only the winners' codes this way."""
+        return self._codes[self._offsets[idx] : self._offsets[idx + 1]]
+
+    def name_at(self, idx: int) -> str:
+        return self._names[idx]
+
     def close(self) -> None:
         pass
 

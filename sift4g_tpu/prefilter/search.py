@@ -120,9 +120,16 @@ def _search_database_native(
     threads: int = 0,
     record_range=None,
     return_scored: bool = False,
+    on_chunk=None,
 ):
     """All-native chunk loop: C++ FASTA streaming feeding the C++ k-mer/LIS
-    engine, no per-sequence Python objects (native/search.cpp)."""
+    engine, no per-sequence Python objects (native/search.cpp).
+
+    ``on_chunk(codes, offsets, names, start_index, snapshot)`` is invoked
+    after each chunk is admitted; ``snapshot()`` returns the engine's
+    CURRENT per-query candidate id arrays (safe mid-stream: the candidate
+    lists are sorted + truncated at every chunk boundary).  The pipeline
+    uses this to overlap device scoring with the next chunk's host scan."""
     import ctypes
 
     from ..io.fasta import FastaStream
@@ -153,8 +160,19 @@ def _search_database_native(
         with FastaStream(database_path, record_range=record_range) as fs:
             more = True
             part = 1
+            def _snapshot_ids():
+                counts = np.empty(len(queries), dtype=np.int64)
+                lib.sift4g_search_counts(ctx, counts.ctypes.data_as(i64p))
+                flat = np.empty(max(int(counts.sum()), 1), dtype=np.int64)
+                lib.sift4g_search_collect(ctx, flat.ctypes.data_as(i64p))
+                bounds = np.concatenate(([0], np.cumsum(counts)))
+                return [
+                    flat[bounds[i] : bounds[i + 1]].copy()
+                    for i in range(len(queries))
+                ]
+
             while more:
-                more, codes, offsets, _names = fs.read_part_arrays(chunk_bytes)
+                more, codes, offsets, names = fs.read_part_arrays(chunk_bytes)
                 n_seq = offsets.shape[0] - 1
                 if n_seq:
                     total_cells += lib.sift4g_search_chunk(
@@ -164,7 +182,10 @@ def _search_database_native(
                         n_seq,
                         consumed,
                     )
+                    start_index = consumed
                     consumed += n_seq
+                    if on_chunk is not None:
+                        on_chunk(codes, offsets, names, start_index, _snapshot_ids)
                 print(f"* database part {part} done *", file=log)
                 part += 1
         counts = np.empty(len(queries), dtype=np.int64)
@@ -207,6 +228,7 @@ def search_database(
     threads: int = 0,
     record_range=None,
     return_scored: bool = False,
+    on_chunk=None,
 ):
     """Returns (per-query ascending candidate db indices, total db residues).
 
@@ -229,7 +251,12 @@ def search_database(
         return _search_database_native(
             lib, database_path, queries, kmer_length, max_candidates, chunk_bytes,
             log, threads=threads, record_range=record_range,
-            return_scored=return_scored,
+            return_scored=return_scored, on_chunk=on_chunk,
+        )
+    if on_chunk is not None:
+        raise ValueError(
+            "on_chunk streaming requires the native search engine "
+            "(callers gate the overlapped pipeline on native.load())"
         )
 
     qhash = QueryKmerHash([q.codes for q in queries], kmer_length)
