@@ -16,11 +16,14 @@ Measurement rules learned on this platform (see align/pallas_sw.py):
 
 Baseline: the reference publishes no numbers (BASELINE.md) and its CUDA/C
 compute library (swsharp) is an empty submodule, so the comparison point
-is SIFT4G's CPU build order-of-magnitude of ~2 GCUPS on a multicore host
-(typical Smith-Waterman CPU throughput for this codebase's era; documented
-assumption, not a measurement).
+is MEASURED on this machine each run: the repo's own threaded score-only
+C++ DP (native/aligner.cpp sift4g_score_batch) at the same workload shape
+— the closest thing to the reference's CPU build that actually exists
+here.  vs_baseline is therefore measured-vs-measured.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} plus a
+"baseline_gcups" field (the measured CPU number) and "roofline_pct" (the
+kernel's share of the measured VPU peak — docs/PLATFORM.md "Roofline").
 """
 
 import json
@@ -33,7 +36,7 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-BASELINE_GCUPS = 2.0  # assumed reference CPU build throughput (see docstring)
+FALLBACK_BASELINE_GCUPS = 0.83  # last measured native CPU (4-core host)
 
 
 def bench_grouped_pallas(groups=64, batch=1024, n=512, m=360, iters=6):
@@ -130,53 +133,66 @@ def _with_deadline(seconds, fn, *args, **kwargs):
         signal.signal(signal.SIGALRM, old)
 
 
-def bench_native_cpu(n_targets=512, n=400, m=360):
-    """Threaded C++ DP throughput — the guaranteed-fast last resort when
-    the remote kernel compile service is too slow for the bench window."""
-    from sift4g_tpu.align.batch import align_pairs_batch
+def bench_native_cpu(n_targets=4096, n=512, m=360):
+    """Measured CPU baseline: threaded score-only C++ DP at the bench
+    workload shape (also the guaranteed-fast fallback metric when the
+    remote kernel compile service is too slow for the bench window)."""
+    from sift4g_tpu.align.batch import score_pairs_batch
     from sift4g_tpu.core.scorers import create_scorer
 
     scorer = create_scorer("BLOSUM_62", 10, 1)
     rng = np.random.default_rng(42)
     q = rng.integers(0, 26, m).astype(np.uint8)
     targets = [rng.integers(0, 26, n).astype(np.uint8) for _ in range(n_targets)]
-    align_pairs_batch(q, targets[:8], scorer, "SW")  # warm the lib
+    score_pairs_batch(q, targets[:64], scorer, "SW")  # warm the lib
     t0 = time.perf_counter()
-    align_pairs_batch(q, targets, scorer, "SW")
+    score_pairs_batch(q, targets, scorer, "SW")
     dt = time.perf_counter() - t0
     return m * n * n_targets / dt / 1e9
+
+
+# Measured VPU peak (tools/bench_ab.py roofline) / kernel ops per cell —
+# see docs/PLATFORM.md "Roofline"; None until re-measured on new hardware.
+ROOFLINE_GCUPS = None
 
 
 def main():
     import jax
 
+    # CPU baseline first (pure C++: cannot poison device timing)
+    try:
+        baseline = _with_deadline(120, bench_native_cpu)
+    except Exception as exc:
+        print(f"native baseline failed ({exc}); using last measured", file=sys.stderr)
+        baseline = FALLBACK_BASELINE_GCUPS
+
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
         try:
-            gcups = _with_deadline(480, bench_grouped_pallas)
+            gcups = _with_deadline(1200, bench_grouped_pallas)
             metric = "sw_score_gcups[pallas-grouped]"
         except Exception as exc:
             print(f"pallas bench failed ({exc}); falling back to xla", file=sys.stderr)
             try:
-                gcups = _with_deadline(60, bench_xla_scan)
+                gcups = _with_deadline(120, bench_xla_scan)
                 metric = "sw_score_gcups[xla]"
             except Exception as exc2:
                 print(f"xla bench failed ({exc2}); native CPU DP", file=sys.stderr)
-                gcups = bench_native_cpu()
+                gcups = baseline
                 metric = "sw_score_gcups[native-cpu]"
     else:
         gcups = bench_xla_scan()
         metric = "sw_score_gcups[xla-cpu]"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(gcups, 3),
-                "unit": "GCUPS",
-                "vs_baseline": round(gcups / BASELINE_GCUPS, 2),
-            }
-        )
-    )
+    out = {
+        "metric": metric,
+        "value": round(gcups, 3),
+        "unit": "GCUPS",
+        "vs_baseline": round(gcups / baseline, 2),
+        "baseline_gcups": round(baseline, 3),
+    }
+    if on_tpu and ROOFLINE_GCUPS:
+        out["roofline_pct"] = round(100.0 * gcups / ROOFLINE_GCUPS, 1)
+    print(json.dumps(out))
     return 0
 
 

@@ -172,6 +172,67 @@ def align_pairs_batch(
     return out
 
 
+def score_pairs_batch(
+    query_codes: np.ndarray,
+    targets,
+    scorer: Scorer,
+    mode: str = "SW",
+    threads: int = 0,
+) -> np.ndarray:
+    """Scores only (int64 array) for one query vs many targets.
+
+    Threaded linear-memory C++ DP (native/aligner.cpp sift4g_score_batch)
+    — the honest CPU scoring twin of the TPU kernels: no traceback
+    matrices, ~4x align_pairs_batch.  PackedTargets passes its
+    (codes, starts, lens) arrays zero-copy.  Falls back to the NumPy
+    oracle when the native library (or the symbol, stale .so) is absent.
+    """
+    from ..native import load as _load_native
+    from .dp_numpy import score_pair
+
+    n = len(targets)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "sift4g_score_batch"):
+        return np.array(
+            [score_pair(query_codes, t, scorer, mode) for t in targets],
+            dtype=np.int64,
+        )
+
+    import ctypes
+
+    q = np.ascontiguousarray(query_codes, dtype=np.uint8)
+    if isinstance(targets, PackedTargets):
+        base = np.ascontiguousarray(targets.codes, dtype=np.uint8)
+        starts = np.ascontiguousarray(targets.starts, dtype=np.int64)
+        lens = np.ascontiguousarray(targets.lens, dtype=np.int32)
+    else:
+        lens = np.fromiter(
+            (t.shape[0] for t in targets), dtype=np.int32, count=n
+        )
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        base = np.empty(int(starts[-1]) + int(lens[-1]), dtype=np.uint8)
+        for i, t in enumerate(targets):
+            base[starts[i] : starts[i] + lens[i]] = t
+    matrix26 = np.ascontiguousarray(scorer.matrix, dtype=np.int32)
+    score = np.empty(n, dtype=np.int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.sift4g_score_batch(
+        q.ctypes.data_as(u8p), q.shape[0],
+        base.ctypes.data_as(u8p),
+        starts.ctypes.data_as(i64p), lens.ctypes.data_as(i32p), n,
+        matrix26.ctypes.data_as(i32p),
+        scorer.gap_open, scorer.gap_extend, _MODE_IDS[mode],
+        max(int(threads), 0),
+        score.ctypes.data_as(i32p),
+    )
+    return score.astype(np.int64)
+
+
 class BatchAligner:
     """Scores one query against many targets; backend 'xla' | 'numpy' | 'pallas'."""
 
@@ -285,13 +346,10 @@ class BatchAligner:
             ]
             return lambda: res
         if self.backend == "native":
-            # threaded C++ DP (scores only used; paths discarded) — the
+            # threaded linear-memory C++ DP (no traceback matrices) — the
             # fast CPU-only deployment path
             res = [
-                np.array(
-                    [r.score for r in align_pairs_batch(q, list(t), self.scorer, self.mode)],
-                    dtype=np.int64,
-                )
+                score_pairs_batch(q, t, self.scorer, self.mode)
                 for q, t in items
             ]
             return lambda: res

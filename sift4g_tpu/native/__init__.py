@@ -83,6 +83,15 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c_i32_p, c_i32_p, c_i32_p, c_i32_p, c_i32_p,  # score, qs, qe, ts, te
         c_u8_p, c_i64, c_i64_p,                   # moves_buf, cap, moves_off
     ]
+
+    if hasattr(lib, "sift4g_score_batch"):  # stale .so tolerance
+        lib.sift4g_score_batch.restype = None
+        lib.sift4g_score_batch.argtypes = [
+            c_u8_p, c_i32, c_u8_p,                   # q, qlen, codes base
+            c_i64_p, c_i32_p, c_i32,                 # starts, lens, n
+            c_i32_p, c_i32, c_i32, c_i32, c_i32,     # matrix26, go, ge, mode, threads
+            c_i32_p,                                 # out scores
+        ]
     return lib
 
 

@@ -167,9 +167,83 @@ void align_one(const uint8_t* q, int m, const uint8_t* t, int n,
   out->target_end = ej - 1;
 }
 
+// Score-only affine DP in linear memory (two rolling rows) — the honest
+// CPU twin of the TPU scoring kernels (no traceback matrices, no O(mn)
+// memory).  Same recurrences and mode boundaries as align_one / the
+// Pallas kernels; bit-identical scores (property-tested).
+int32_t score_one(const uint8_t* q, int m, const uint8_t* t, int n,
+                  const int32_t* mat, int go, int ge, int mode,
+                  std::vector<int32_t>* hbuf, std::vector<int32_t>* fbuf) {
+  const bool local = mode == SW;
+  const bool free_top = mode != NW;
+  const bool free_left = mode == SW || mode == OV;
+  std::vector<int32_t>& H = *hbuf;
+  std::vector<int32_t>& F = *fbuf;
+  H.assign(n + 1, 0);
+  F.assign(n + 1, NEG);
+  if (!free_top)
+    for (int j = 1; j <= n; ++j) H[j] = -(go + (j - 1) * ge);
+  int32_t best = local ? 0 : NEG;
+  int32_t last_col_best = free_top ? 0 : NEG;  // OV: H[0][n] boundary is 0
+  for (int i = 1; i <= m; ++i) {
+    const int32_t* srow = mat + static_cast<size_t>(q[i - 1]) * 26;
+    int32_t left = free_left ? 0 : -(go + (i - 1) * ge);
+    int32_t diag = H[0];
+    H[0] = left;
+    int32_t e = NEG;
+    for (int j = 1; j <= n; ++j) {
+      int32_t f = std::max(H[j] - go, F[j] - ge);
+      F[j] = f;
+      int32_t g = std::max(diag + srow[t[j - 1]], f);
+      if (local) g = std::max(g, 0);
+      e = std::max(H[j - 1] - go, e - ge);
+      int32_t h = std::max(g, e);
+      diag = H[j];
+      H[j] = h;
+      if (local && h > best) best = h;
+    }
+    if (n > 0 && H[n] > last_col_best) last_col_best = H[n];
+  }
+  // the rolling row ends holding H[m][.], boundaries included
+  if (mode == NW) return H[n];
+  if (mode == SW) return best;
+  // HW: best of the final row; OV: best of final row and last column
+  int32_t row_best = NEG;
+  for (int j = 0; j <= n; ++j) row_best = std::max(row_best, H[j]);
+  if (mode == HW) return row_best;
+  return std::max(std::max(row_best, last_col_best), 0);
+}
+
 }  // namespace
 
 extern "C" {
+
+// Score-only batch: one query vs n_targets addressed as (base + starts[i],
+// lens[i]) — PackedTargets passes its arrays zero-copy, contiguous callers
+// pass starts=offsets[:-1], lens=diff(offsets).  Linear memory per thread.
+void sift4g_score_batch(const uint8_t* q, int32_t qlen, const uint8_t* base,
+                        const int64_t* starts, const int32_t* lens,
+                        int32_t n_targets, const int32_t* matrix26,
+                        int32_t gap_open, int32_t gap_extend, int32_t mode,
+                        int32_t n_threads, int32_t* out_score) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = n_threads > 0 ? n_threads : (hw ? static_cast<int>(hw) : 4);
+  nt = std::min<int>(nt, std::max<int32_t>(1, n_targets));
+  std::atomic<int32_t> next{0};
+  auto worker = [&]() {
+    std::vector<int32_t> hbuf, fbuf;
+    for (;;) {
+      int32_t idx = next.fetch_add(1);
+      if (idx >= n_targets) return;
+      out_score[idx] =
+          score_one(q, qlen, base + starts[idx], lens[idx], matrix26,
+                    gap_open, gap_extend, mode, &hbuf, &fbuf);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
 
 // Align one query against n_targets targets (concatenated codes + offsets).
 // Outputs: per-target score/starts/ends; edit paths concatenated into

@@ -44,3 +44,37 @@ def test_native_aligner_empty_and_tiny():
     got = align_pairs_batch(q, [np.array([0, 1, 2], dtype=np.uint8)], scorer, "SW")
     assert got[0].score > 0
     assert align_pairs_batch(q, [], scorer, "SW") == []
+
+
+@pytest.mark.parametrize("mode", ["SW", "NW", "HW", "OV"])
+@pytest.mark.parametrize("gaps", [(10, 1), (12, 2)])
+def test_native_score_batch_matches_oracle(mode, gaps):
+    """Score-only linear-memory engine (sift4g_score_batch) == oracle,
+    including empty and length-1 targets, list and PackedTargets forms."""
+    from sift4g_tpu.align.batch import PackedTargets, score_pairs_batch
+    from sift4g_tpu.align.dp_numpy import score_pair
+
+    rng = np.random.default_rng(53)
+    scorer = create_scorer("BLOSUM_62", *gaps)
+    for trial in range(4):
+        m = int(rng.integers(4, 110))
+        q = rng.integers(0, 26, m).astype(np.uint8)
+        targets = [
+            rng.integers(0, 26, int(rng.integers(0, 180))).astype(np.uint8)
+            for _ in range(9)
+        ]
+        targets.append(np.zeros(0, dtype=np.uint8))
+        targets.append(q.copy())
+        want = np.array(
+            [score_pair(q, t, scorer, mode) for t in targets], dtype=np.int64
+        )
+        got = score_pairs_batch(q, targets, scorer, mode)
+        np.testing.assert_array_equal(got, want, err_msg=f"{mode} {gaps} list")
+
+        lens = np.array([t.shape[0] for t in targets], dtype=np.int32)
+        starts = np.zeros(len(targets), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        base = np.concatenate(targets) if targets else np.zeros(0, np.uint8)
+        packed = PackedTargets(base, starts, lens)
+        got_p = score_pairs_batch(q, packed, scorer, mode)
+        np.testing.assert_array_equal(got_p, want, err_msg=f"{mode} {gaps} packed")

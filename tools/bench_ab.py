@@ -133,20 +133,23 @@ def run_roofline(B=1024, N=512, M=20000, iters=8):
     }))
 
 
-def run_native(n_targets=2048, n=512, m=360):
-    from sift4g_tpu.align.batch import align_pairs_batch
+def run_native(n_targets=8192, n=512, m=360):
+    """Score-only threaded C++ DP at the bench workload shape — the
+    measured CPU baseline (apples-to-apples: the TPU kernels are also
+    score-only; traceback runs host-side for winners in both designs)."""
+    from sift4g_tpu.align.batch import score_pairs_batch
     from sift4g_tpu.core.scorers import create_scorer
 
     scorer = create_scorer("BLOSUM_62", 10, 1)
     rng = np.random.default_rng(42)
     q = rng.integers(0, 26, m).astype(np.uint8)
     targets = [rng.integers(0, 26, n).astype(np.uint8) for _ in range(n_targets)]
-    align_pairs_batch(q, targets[:8], scorer, "SW")  # warm
+    score_pairs_batch(q, targets[:64], scorer, "SW")  # warm
     t0 = time.perf_counter()
-    align_pairs_batch(q, targets, scorer, "SW")
+    score_pairs_batch(q, targets, scorer, "SW")
     dt = time.perf_counter() - t0
     print(json.dumps({
-        "metric": "native_cpu_gcups",
+        "metric": "native_cpu_score_gcups",
         "gcups": round(m * n * n_targets / dt / 1e9, 3),
     }))
 
