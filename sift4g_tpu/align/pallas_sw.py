@@ -177,6 +177,7 @@ def _sw_grouped_kernel(
     dt=jnp.int32,
     neg: int = NEG,
     shift_impl: str = "roll",
+    unroll: int = 1,
 ):
     """Grid-of-groups variant: one launch scores G (query, target-batch)
     pairs.  Kernel launches cost ~30 ms each through a remote-attached
@@ -185,7 +186,12 @@ def _sw_grouped_kernel(
 
     ``dt`` is the DP accumulator dtype: int16 doubles VPU element density
     and is exact whenever max_qlen*max_substitution + go + N*ge stays well
-    inside the int16 range (the wrapper gates this)."""
+    inside the int16 range — but Mosaic cannot legalize i16 vector maxsi
+    on v5e (measured 2026-08-17), so the gate stays off on hardware.
+
+    ``unroll=2`` runs two query rows per loop iteration (halves the
+    per-iteration scalar/loop overhead; the odd final row runs under
+    pl.when) — A/B knob for hardware measurement."""
     g = pl.program_id(0)
     B, N = h_scr.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
@@ -275,7 +281,20 @@ def _sw_grouped_kernel(
             )
         return 0
 
-    jax.lax.fori_loop(0, qlen_ref[g], row_body, 0, unroll=False)
+    qlen = qlen_ref[g]
+    if unroll <= 1:
+        jax.lax.fori_loop(0, qlen, row_body, 0, unroll=False)
+    else:
+        def pair_body(k, _):
+            row_body(2 * k, 0)
+            row_body(2 * k + 1, 0)
+            return 0
+
+        jax.lax.fori_loop(0, qlen // 2, pair_body, 0, unroll=False)
+
+        @pl.when(qlen % 2 == 1)
+        def _():
+            row_body(qlen - 1, 0)
 
     # final reductions in int32: Mosaic does not lower int16 reductions
     col_valid = col < lens01
@@ -511,7 +530,7 @@ NEG16 = -16000
     jax.jit,
     static_argnames=(
         "mode", "gap_open", "gap_extend", "max_qlen", "max_sub", "shift_impl",
-        "acc",
+        "acc", "unroll",
     ),
 )
 def sw_scores_pallas_grouped(
@@ -531,6 +550,7 @@ def sw_scores_pallas_grouped(
     max_sub: int = 0,
     shift_impl: str = "roll",
     acc: str = "int",
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Scores (G, B) int32: group g = query g vs its B padded targets.
 
@@ -592,6 +612,7 @@ def sw_scores_pallas_grouped(
             dt=dt,
             neg=neg,
             shift_impl=shift_impl,
+            unroll=unroll,
         ),
         out_shape=jax.ShapeDtypeStruct((G, B, 1), jnp.int32),
         grid_spec=grid_spec,
