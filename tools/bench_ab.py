@@ -87,48 +87,107 @@ def run_ab(groups=64, batch=1024, n=512, m=360, iters=6):
     print(json.dumps({"parity": "ok", **{k: v["gcups"] for k, v in out.items()}}))
 
 
-def run_roofline(B=1024, N=512, M=20000, iters=8):
-    """Peak VPU i32 throughput: fori_loop of (add, max) rounds on a
-    vreg/VMEM-resident tile — 2 elementwise i32 ops per element per round,
-    no HBM traffic inside the loop."""
+def run_roofline(B=1024, N=512, iters=6):
+    """Peak VPU i32 throughput, overhead-free: the round count M is a
+    RUNTIME scalar (one compile), and the rate is the differential
+    (ops(M2) - ops(M1)) / (t(M2) - t(M1)) — the fixed ~30 ms launch cost
+    and any fixed prologue cancel.  (A first attempt with static M=20000
+    measured 0.79 Tops because 21G ops at peak take ~5 ms, fully hidden
+    under the launch overhead.)
+
+    Loop body: two carried (B, N) i32 arrays, a' = max(a + 1, b),
+    b' = max(b - 1, a) — 2 elementwise ops per element per round, an
+    add/max mix like the DP row body, and nothing the compiler can fold.
+    """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kern(seed_ref, out_ref):
-        x = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1) + seed_ref[0]
+    def kern(m_ref, out_ref):
+        a = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1) + m_ref[1]
+        b = jax.lax.broadcasted_iota(jnp.int32, (B, N), 0) - m_ref[1]
 
-        def body(i, x):
-            return jnp.maximum(x + 1, x ^ 1)
+        def body(i, ab):
+            a, b = ab
+            return jnp.maximum(a + 1, b), jnp.maximum(b - 1, a)
 
-        x = jax.lax.fori_loop(0, M, body, x, unroll=False)
-        out_ref[:] = jnp.max(x, axis=1, keepdims=True)
+        a, b = jax.lax.fori_loop(0, m_ref[0], body, (a, b), unroll=False)
+        out_ref[:] = jnp.max(jnp.maximum(a, b), axis=1, keepdims=True)
 
     @jax.jit
-    def probe(seed):
+    def probe(m):
         return pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(seed)
+        )(m)
 
-    seeds = [jnp.asarray(np.array([i], np.int32)) for i in range(iters + 1)]
+    def timed(M, salt):
+        t0 = time.perf_counter()
+        _ = np.asarray(probe(jnp.asarray(np.array([M, salt], np.int32))))
+        return time.perf_counter() - t0
+
     t0 = time.perf_counter()
-    _ = np.asarray(probe(seeds[0]))
+    timed(100, 0)  # compile
+    compile_s = time.perf_counter() - t0
+    lo, hi = 25_000, 100_000
+    t_lo = min(timed(lo, 1 + i) for i in range(iters))
+    t_hi = min(timed(hi, 100 + i) for i in range(iters))
+    # 2 arrays x 2 ops per element per round
+    d_ops = 4 * B * N * (hi - lo)
+    tops = d_ops / (t_hi - t_lo) / 1e12
+    print(json.dumps({
+        "metric": "vpu_i32_tops_marginal",
+        "tops": round(tops, 3),
+        "t_lo_s": round(t_lo, 4), "t_hi_s": round(t_hi, 4),
+        "compile_s": round(compile_s, 1),
+    }))
+
+
+def run_unroll(groups=64, batch=1024, n=512, m=360, iters=6):
+    """Hardware A/B: grouped kernel with unroll=2 (two query rows per loop
+    iteration).  Compare against the same-day int32 unroll=1 measurement
+    (46.7 GCUPS, 2026-08-17); bit-parity with unroll=1 is interpret-tested
+    (test_pallas_grouped.py)."""
+    import jax.numpy as jnp
+
+    from sift4g_tpu.align.pallas_sw import PAD_CODE, sw_scores_pallas_grouped
+    from sift4g_tpu.align.xla import _extend_matrix
+    from sift4g_tpu.core.scorers import create_scorer
+
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    m32 = jnp.asarray(_extend_matrix(scorer.matrix))
+    rng = np.random.default_rng(42)
+    m_pad = -(-m // 64) * 64
+    q_all = np.full(groups * m_pad, PAD_CODE, dtype=np.int32)
+    for g in range(groups):
+        q_all[g * m_pad : g * m_pad + m] = rng.integers(0, 26, m)
+    q_off = (np.arange(groups) * m_pad).astype(np.int32)
+    q_len = np.full(groups, m, dtype=np.int32)
+    targets = [
+        jnp.asarray(rng.integers(0, 26, (groups, batch, n)).astype(np.int8))
+        for _ in range(iters + 1)
+    ]
+    lens = jnp.asarray(np.full((groups, batch), n, dtype=np.int32))
+    args = (jnp.asarray(q_all), jnp.asarray(q_off), jnp.asarray(q_len))
+    cells = groups * m * batch * n
+    call = lambda t: np.asarray(
+        sw_scores_pallas_grouped(*args, t, lens, m32, unroll=2)
+    )
+    t0 = time.perf_counter()
+    _ = call(targets[0])
     compile_s = time.perf_counter() - t0
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
-        _ = np.asarray(probe(seeds[i + 1]))
+        _ = call(targets[i + 1])
         times.append(time.perf_counter() - t0)
-    ops = 2 * B * N * M
-    best = min(times)
     print(json.dumps({
-        "metric": "vpu_i32_tops",
-        "tops": round(ops / best / 1e12, 3),
-        "all_s": [round(t, 4) for t in times],
+        "metric": "sw_score_gcups[unroll2]",
+        "gcups": round(cells / min(times) / 1e9, 2),
+        "all_gcups": [round(cells / t / 1e9, 2) for t in times],
         "compile_s": round(compile_s, 1),
     }))
 
@@ -161,6 +220,8 @@ def main():
         run_ab()
     elif cmd == "roofline":
         run_roofline()
+    elif cmd == "unroll":
+        run_unroll()
     elif cmd == "native":
         run_native()
     else:

@@ -26,6 +26,8 @@ def main():
                     help="run twice; the second (warm) run excludes kernel compiles")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU platform (jax.config, pre-backend-init)")
+    ap.add_argument("--overlap", default="auto", choices=["auto", "on", "off"],
+                    help="prefilter/align overlap mode (A/B knob)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -44,6 +46,7 @@ def main():
         align_backend=args.backend,
         max_candidates=args.max_candidates,
         timings=True,
+        overlap=args.overlap,
     )
     runs = 2 if args.repeat else 1
     for r in range(runs):
