@@ -550,9 +550,14 @@ def sw_scores_pallas_grouped(
     max_sub: int = 0,
     shift_impl: str = "roll",
     acc: str = "int",
-    unroll: int = 1,
+    unroll: int = 2,
 ) -> jnp.ndarray:
     """Scores (G, B) int32: group g = query g vs its B padded targets.
+
+    ``unroll=2`` (production default) runs two query rows per loop
+    iteration — measured 48.7 vs 46.7 GCUPS for unroll=1 at the bench
+    shape on v5e (2026-08-17, tools/bench_ab.py unroll); bit-parity with
+    unroll=1 is property-tested in interpret mode.
 
     ``acc`` picks the DP accumulator: "int" (int32, default), "i16"
     (int16, 2x VPU element density — requires static bounds ``max_qlen``

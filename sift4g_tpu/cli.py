@@ -65,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "xla", "numpy", "pallas", "native"],
                    help="alignment scoring backend (default: auto — the "
                    "Pallas kernel on TPU, the XLA scan elsewhere)")
+    p.add_argument("--predict-backend", default="host", choices=["host", "device"],
+                   help="full-matrix prediction math: host (float64 oracle, "
+                   "bit-parity default) or device (vmapped float32 batches "
+                   "for proteome-scale query counts; last printed decimal "
+                   "may differ on rounding boundaries). Substitution-mode "
+                   "queries always use the host oracle")
     p.add_argument("--timings", action="store_true",
                    help="print per-phase wall-clock and throughput counters")
     p.add_argument("--overlap", default="auto", choices=["auto", "on", "off"],
@@ -166,6 +172,7 @@ def _run_one(args, query_path: str, host_ctx=None) -> None:
         out_format=args.outfmt,
         sequence_identity=args.seq_id,
         align_backend=args.backend,
+        predict_backend=args.predict_backend,
         timings=args.timings,
         threads=args.threads,
         overlap=args.overlap,

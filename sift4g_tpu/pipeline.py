@@ -13,6 +13,7 @@ its ascending index list), alignments are E-value-filtered, capped at
 
 from __future__ import annotations
 
+import os
 import sys
 from dataclasses import dataclass, field
 from typing import List, Optional
@@ -78,6 +79,7 @@ class PipelineConfig:
     out_format: str = "bm9"
     sequence_identity: int = 100
     align_backend: str = "auto"
+    predict_backend: str = "host"
     search_chunk_bytes: int = 250_000_000
     align_chunk_bytes: int = ALIGN_CHUNK_BYTES
     log: object = field(default_factory=lambda: sys.stderr)
@@ -458,8 +460,24 @@ def finish_pipeline(
         f"{float(cfg.sequence_identity):.2f}% **",
         file=log,
     )
+    # matrix-mode queries can take the device-batched float32 path
+    # (opt-in, sift/predict_batch.py); subst-mode queries always use the
+    # bit-parity float64 host oracle
+    device_qis: List[int] = []
+    if cfg.predict_backend == "device":
+        from .io.subst import subst_file_name
+
+        device_qis = [
+            qi for qi in range(len(queries))
+            if all_rows[qi].shape[0]
+            and not os.path.isfile(
+                subst_file_name(queries[qi].name, cfg.subst_path)
+            )
+        ]
+    device_set = set(device_qis)
+
     def _predict_one(qi: int) -> None:
-        if all_rows[qi].shape[0] == 0:
+        if all_rows[qi].shape[0] == 0 or qi in device_set:
             return  # sift_prediction.cpp:154
         predict_query(
             queries[qi],
@@ -472,4 +490,18 @@ def finish_pipeline(
 
     with metrics.phase("predict"):
         _query_fanout(_predict_one, len(queries), cfg.threads, log)
+        if device_qis:
+            from .sift.predict import prepare_rows
+            from .sift.predict_batch import predict_matrix_batch
+
+            prepared = [
+                prepare_rows(
+                    queries[qi], all_names[qi], all_rows[qi],
+                    cfg.sequence_identity,
+                )
+                for qi in device_qis
+            ]
+            predict_matrix_batch(
+                [queries[qi] for qi in device_qis], prepared, cfg.out_path
+            )
     metrics.report()

@@ -56,6 +56,23 @@ def add_pos_with_del_ref(
                 median_for_pos[key] = -1.0
 
 
+def prepare_rows(
+    query: Chain, names: List[str], rows: np.ndarray, sequence_identity: int
+) -> np.ndarray:
+    """Shared preprocessing of threadSiftPredictions (:183-197): Q7 cap at
+    399 rows, sequence-identity filter, query inserted as row 0.  Returns
+    the (n, L) code rows the scoring math runs on."""
+    if rows.shape[0] > MAX_SEQUENCES - 1:
+        rows = rows[: MAX_SEQUENCES - 1]
+        names = names[: MAX_SEQUENCES - 1]
+    names, rows = remove_seqs_identical_to_query(
+        query.codes, names, rows, float(sequence_identity)
+    )
+    if rows.size:
+        return np.vstack([query.codes[None, :], rows])
+    return query.codes[None, :].copy()
+
+
 def predict_query(
     query: Chain,
     names: List[str],
@@ -65,16 +82,7 @@ def predict_query(
     out_dir: str,
 ) -> None:
     """Run prediction for one query and write its output file."""
-    # Q7: keep first 399 rows
-    if rows.shape[0] > MAX_SEQUENCES - 1:
-        rows = rows[: MAX_SEQUENCES - 1]
-        names = names[: MAX_SEQUENCES - 1]
-
-    names, rows = remove_seqs_identical_to_query(
-        query.codes, names, rows, float(sequence_identity)
-    )
-    # query becomes row 0
-    rows = np.vstack([query.codes[None, :], rows]) if rows.size else query.codes[None, :].copy()
+    rows = prepare_rows(query, names, rows, sequence_identity)
     total_seq = rows.shape[0]
 
     raw_matrix, aas_stored = create_matrix(rows, np.ones(total_seq))

@@ -1,0 +1,104 @@
+"""Device-batched full-matrix SIFT prediction (the 20k-query mode).
+
+The reference runs one host thread per query (sift_prediction.cpp:152-162);
+at proteome scale (tens of thousands of matrix-mode queries) the per-query
+float64 host oracle costs ~16 ms each, minutes serially.  This path packs
+matrix-mode queries into (Q, n_pad, L_pad) code tensors bucketed by padded
+query length and runs the vmapped JAX scoring math (scores_jax.py) — one
+device launch scores a whole bucket chunk.
+
+Numerics: float32 on device.  Agreement with the float64 oracle is ~1e-5
+on the [0, 1] scores (property-tested); the printed 4-decimal matrix can
+therefore differ in the last digit on rare rounding-boundary values, so
+this path is OPT-IN (--predict-backend device) and the bit-parity host
+oracle remains the default.  Substitution-mode queries (.subst present)
+always take the host path: their TOLERATED/DELETERIOUS calls sit directly
+on the 0.05 threshold and stay float64-exact.
+
+Padding semantics: 'X' is an invalid amino acid (valid_amino_acid,
+sift_scores.cpp:316-322), so padded positions and padded all-'X' rows
+contribute nothing to count matrices or weights; the real row count is
+passed separately for the Henikoff weight normalization
+(sift_scores.cpp:493-497 normalizes weights to sum to the sequence count).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from ..core.chain import Chain
+from ..io.writers import create_file_name, write_matrix_original_format
+
+X_CODE = ord("X") - ord("A")
+
+# queries per device launch: bounds the (Qc, n_pad, L_pad, 26) f32 one-hot
+# intermediate (Qc=32, n=400, L=512 -> ~680 MB peak, well inside HBM) while
+# still amortizing the ~30 ms launch overhead
+Q_CHUNK = 32
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def bucket_shapes(
+    lens: Sequence[int], n_rows: Sequence[int]
+) -> Dict[Tuple[int, int], List[int]]:
+    """Group query indices by (L_pad, n_pad) compile-shape bucket.
+
+    L pads to 128 (lane width), rows to 64 — a handful of distinct
+    compiled shapes per run (compiles through the remote service are
+    minutes each, docs/PLATFORM.md)."""
+    buckets: Dict[Tuple[int, int], List[int]] = {}
+    for i, (L, n) in enumerate(zip(lens, n_rows)):
+        key = (_round_up(max(L, 1), 128), _round_up(max(n, 1), 64))
+        buckets.setdefault(key, []).append(i)
+    return buckets
+
+
+def predict_matrix_batch(
+    queries: List[Chain],
+    prepared_rows: List[np.ndarray],
+    out_dir: str,
+    q_chunk: int = Q_CHUNK,
+) -> None:
+    """Score + write .SIFTprediction matrices for matrix-mode queries.
+
+    prepared_rows[i]: (n_i, L_i) int codes with the query as row 0
+    (predict.prepare_rows output — Q7 cap and identity filter applied).
+    """
+    import jax.numpy as jnp
+
+    from .scores_jax import sift_scores_from_rows_batch
+
+    lens = [r.shape[1] for r in prepared_rows]
+    n_rows = [r.shape[0] for r in prepared_rows]
+    buckets = bucket_shapes(lens, n_rows)
+
+    for (L_pad, n_pad), idxs in sorted(buckets.items()):
+        for start in range(0, len(idxs), q_chunk):
+            chunk = idxs[start : start + q_chunk]
+            Qc = len(chunk)
+            # fixed chunk width: the last partial chunk pads with all-'X'
+            # dummy queries (results discarded) instead of forcing a fresh
+            # compile shape
+            packed = np.full((q_chunk, n_pad, L_pad), X_CODE, dtype=np.int32)
+            n_valid = np.ones(q_chunk, dtype=np.int32)
+            for j, qi in enumerate(chunk):
+                r = prepared_rows[qi]
+                packed[j, : r.shape[0], : r.shape[1]] = r
+                n_valid[j] = r.shape[0]
+            scores = np.asarray(
+                sift_scores_from_rows_batch(
+                    jnp.asarray(packed), jnp.asarray(n_valid)
+                )
+            )
+            for j, qi in enumerate(chunk):
+                out_path = create_file_name(
+                    queries[qi].name, out_dir, ".SIFTprediction"
+                )
+                write_matrix_original_format(
+                    scores[j, : lens[qi]].astype(np.float64), out_path
+                )

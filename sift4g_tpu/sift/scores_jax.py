@@ -41,8 +41,13 @@ def create_matrix(rows: jnp.ndarray, weights: jnp.ndarray):
     return matrix, matrix.sum(axis=1)
 
 
-def calc_seq_weights(rows: jnp.ndarray, raw_matrix: jnp.ndarray):
-    """Henikoff position-based weights (calcSeqWeights, :453-498)."""
+def calc_seq_weights(rows: jnp.ndarray, raw_matrix: jnp.ndarray, n_valid=None):
+    """Henikoff position-based weights (calcSeqWeights, :453-498).
+
+    ``n_valid`` is the number of REAL sequence rows; padding rows (all-'X',
+    used by the batched path to give every query the same row count) earn
+    zero weight on their own, but the reference normalizes weights to sum
+    to the sequence count, so the count must exclude padding."""
     n, L = rows.shape
     valid = jnp.asarray(VALID_AA_MASK, jnp.bool_)
     ndiff = ((raw_matrix > 0.0) & valid[None, :]).sum(axis=1).astype(jnp.float32)
@@ -52,7 +57,8 @@ def calc_seq_weights(rows: jnp.ndarray, raw_matrix: jnp.ndarray):
     denom = jnp.where(ok, ndiff[None, :] * counts_at, 1.0)
     w = jnp.where(ok, 1.0 / denom, 0.0).sum(axis=1)
     tot = w.sum()
-    return jnp.where(tot != 0, w / tot * n, w), ndiff
+    n_eff = n if n_valid is None else n_valid
+    return jnp.where(tot != 0, w / tot * n_eff, w), ndiff
 
 
 def calc_epsilon(weighted: jnp.ndarray, max_aa_onehot: jnp.ndarray, ndiff: jnp.ndarray):
@@ -102,12 +108,12 @@ def calc_diri(weighted: jnp.ndarray) -> jnp.ndarray:
     return diric / jnp.where(totreg == 0, 1.0, totreg)[:, None]
 
 
-def calc_sift_scores(rows: jnp.ndarray, raw_matrix: jnp.ndarray):
+def calc_sift_scores(rows: jnp.ndarray, raw_matrix: jnp.ndarray, n_valid=None):
     """calcSIFTScores (:324-377): rows include the query as row 0.
 
     Returns (SIFTscores (L, 26), seq_weights (n,), ndiff (L,)).
     """
-    seq_weights, ndiff = calc_seq_weights(rows, raw_matrix)
+    seq_weights, ndiff = calc_seq_weights(rows, raw_matrix, n_valid)
     weighted, tot_weights = create_matrix(rows, seq_weights)
     max_oh = jax.nn.one_hot(jnp.argmax(weighted, axis=1), 26, dtype=jnp.float32)
     eps = calc_epsilon(weighted, max_oh, ndiff)
@@ -123,3 +129,16 @@ calc_sift_scores_jit = jax.jit(calc_sift_scores)
 # Batched over queries: rows (Q, n, L) with per-query padding rows of 'X'
 # (masked as invalid), raw (Q, L, 26).
 calc_sift_scores_batch = jax.jit(jax.vmap(calc_sift_scores))
+
+
+def sift_scores_from_rows(rows: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
+    """One query: rows (n_pad, L_pad) int codes ('X' both as row padding and
+    position padding), n_valid real rows -> SIFT scores (L_pad, 26)."""
+    raw, _ = create_matrix(rows, jnp.ones(rows.shape[0], jnp.float32))
+    sift, _, _ = calc_sift_scores(rows, raw, n_valid)
+    return sift
+
+
+# The batched full-matrix prediction entry: (Q, n_pad, L_pad) + (Q,) ->
+# (Q, L_pad, 26).  jit per (n_pad, L_pad) bucket shape.
+sift_scores_from_rows_batch = jax.jit(jax.vmap(sift_scores_from_rows))

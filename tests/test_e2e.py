@@ -131,3 +131,56 @@ def test_other_algorithms_run(tmp_path, algorithm):
     run_pipeline(cfg)
     out = tmp_path / "LACI_ECOLI.SIFTprediction"
     assert out.exists() and out.read_text().count("\t") >= 3
+
+
+def test_device_predict_backend_matrix_mode(tmp_path):
+    """--predict-backend device: matrix-mode outputs agree with the golden
+    float64 matrices to one printed digit (the device path is float32 and
+    documented non-bit-parity; sift/predict_batch.py)."""
+    import numpy as np
+
+    cfg = PipelineConfig(
+        query_path=os.path.join(TEST_FILES, "query.fasta"),
+        database_path=os.path.join(TEST_FILES, "sample_protein_database.fa"),
+        subst_path="",
+        out_path=str(tmp_path),
+        align_backend="numpy",
+        predict_backend="device",
+        log=open(os.devnull, "w"),
+    )
+    run_pipeline(cfg)
+
+    def parse(path):
+        vals = []
+        with open(path) as fp:
+            for line in fp:
+                parts = line.split()
+                if parts and parts[0] not in ("ID", "AC", "DE", "MA", "//") \
+                        and not parts[0].isalpha():
+                    vals.append([float(x) for x in parts])
+        return np.asarray(vals)
+
+    for name in ("LACI_ECOLI", "PURR_SALTY"):
+        got = parse(tmp_path / f"{name}.SIFTprediction")
+        want = parse(os.path.join(GOLDEN, f"{name}.matrix.SIFTprediction"))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1.5e-4)
+
+
+def test_device_predict_backend_subst_stays_host(tmp_path):
+    """Subst-mode queries keep the bit-parity host oracle even under
+    --predict-backend device (pipeline routing)."""
+    cfg = PipelineConfig(
+        query_path=os.path.join(TEST_FILES, "query.fasta"),
+        database_path=os.path.join(TEST_FILES, "sample_protein_database.fa"),
+        subst_path=TEST_FILES,
+        out_path=str(tmp_path),
+        align_backend="numpy",
+        predict_backend="device",
+        log=open(os.devnull, "w"),
+    )
+    run_pipeline(cfg)
+    for name in ("LACI_ECOLI", "PURR_SALTY"):
+        got = tmp_path / f"{name}.SIFTprediction"
+        want = os.path.join(GOLDEN, f"{name}.SIFTprediction")
+        assert filecmp.cmp(got, want, shallow=False), f"{name} differs"

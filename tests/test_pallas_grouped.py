@@ -51,17 +51,18 @@ def test_grouped_matches_xla(mode):
                 shift_impl="concat",
             )
         )
-        # two-row unrolled loop (qlens cover odd 17 and even 50/64 — both
-        # the paired body and the pl.when odd-tail row)
-        got_u2 = np.asarray(
+        # single-row loop vs the two-row production default (qlens cover
+        # odd 17 and even 50/64 — both the paired body and the pl.when
+        # odd-tail row of the unroll=2 default)
+        got_u1 = np.asarray(
             sw_scores_pallas_grouped(
                 q_all, q_offsets, qlens, targets, lens, m32, mode=mode,
-                unroll=2,
+                unroll=1,
             )
         )
     np.testing.assert_array_equal(got16, got)
     np.testing.assert_array_equal(got_cs, got)
-    np.testing.assert_array_equal(got_u2, got)
+    np.testing.assert_array_equal(got_u1, got)
     for g in range(G):
         ref = np.asarray(
             align_scores_kernel(

@@ -46,3 +46,74 @@ def test_sift_scores_batch_vmap():
     for i in range(q):
         want, _, _ = S.calc_sift_scores(rows[i], raws[i].astype(np.float64))
         np.testing.assert_allclose(np.asarray(got[i]), want, rtol=2e-3, atol=2e-4)
+
+
+def test_sift_scores_from_rows_padding_invariant():
+    """Padded all-'X' rows + padded positions with n_valid reproduce the
+    unpadded result exactly (padding must be inert, scores_jax.py)."""
+    rng = np.random.default_rng(13)
+    n, L = 7, 50
+    rows = _random_alignment(rng, n, L)
+
+    base = np.asarray(
+        SJ.sift_scores_from_rows(rows.astype(np.int32), np.int32(n))
+    )
+
+    n_pad, L_pad = 16, 128
+    packed = np.full((n_pad, L_pad), X, dtype=np.int32)
+    packed[:n, :L] = rows
+    padded = np.asarray(
+        SJ.sift_scores_from_rows(packed, np.int32(n))
+    )
+    np.testing.assert_allclose(padded[:L], base, rtol=1e-5, atol=1e-6)
+
+
+def test_predict_matrix_batch_matches_host_oracle(tmp_path):
+    """Device-batched matrix-mode prediction writes files whose parsed
+    values agree with the host float64 oracle path to one printed-digit
+    tolerance (sift/predict_batch.py)."""
+    from sift4g_tpu.core.chain import Chain
+    from sift4g_tpu.sift.predict import predict_query, prepare_rows
+    from sift4g_tpu.sift.predict_batch import predict_matrix_batch
+
+    rng = np.random.default_rng(17)
+    host_dir = tmp_path / "host"
+    dev_dir = tmp_path / "dev"
+    host_dir.mkdir()
+    dev_dir.mkdir()
+
+    queries, prepared = [], []
+    for qi, (n, L) in enumerate([(6, 37), (12, 61), (3, 37), (30, 200)]):
+        rows = _random_alignment(rng, n, L)
+        letters = (rows[0] % 20 + ord("A")).astype(np.uint8).tobytes().decode()
+        q = Chain.from_string(f"q{qi}", letters)
+        names = [f"t{j}" for j in range(n - 1)]
+        predict_query(q, list(names), rows[1:], str(tmp_path / "nosubst"),
+                      100, str(host_dir))
+        queries.append(q)
+        prepared.append(prepare_rows(q, list(names), rows[1:], 100))
+
+    predict_matrix_batch(queries, prepared, str(dev_dir), q_chunk=3)
+
+    def parse(path):
+        vals = []
+        with open(path) as fp:
+            for line in fp:
+                parts = line.split()
+                if parts and parts[0] not in ("ID", "AC", "DE", "MA", "//") \
+                        and not parts[0].isalpha():
+                    vals.append([float(x) for x in parts])
+        return np.asarray(vals)
+
+    for q in queries:
+        want = parse(host_dir / f"{q.name}.SIFTprediction")
+        got = parse(dev_dir / f"{q.name}.SIFTprediction")
+        assert want.shape == got.shape
+        np.testing.assert_allclose(got, want, atol=1.5e-4)
+
+
+def test_bucket_shapes():
+    from sift4g_tpu.sift.predict_batch import bucket_shapes
+
+    b = bucket_shapes([37, 61, 37, 200], [6, 12, 3, 30])
+    assert b == {(128, 64): [0, 1, 2], (256, 64): [3]}
