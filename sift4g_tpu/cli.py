@@ -77,6 +77,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="overlap the prefilter scan with device scoring "
                    "(default: auto — on when an accelerator, the parse "
                    "cache and the native engine are all present)")
+    p.add_argument("--serve", default="", metavar="SOCKET",
+                   help="run as a long-lived daemon on this UNIX socket, "
+                   "keeping compiled kernels warm across jobs (the remote "
+                   "compile service costs minutes per shape and the "
+                   "persistent cache is inoperative on this deployment)")
+    p.add_argument("--connect", default="", metavar="SOCKET",
+                   help="submit this invocation to a --serve daemon "
+                   "instead of running locally")
+    p.add_argument("--shutdown", action="store_true",
+                   help="with --connect: stop the daemon and exit")
     p.add_argument("--platform", default="auto",
                    help="JAX platform to target (e.g. cpu, tpu). Needed "
                    "because some deployments pin JAX_PLATFORMS at "
@@ -90,12 +100,42 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _flag_value(argv, flag):
+    for i, a in enumerate(argv):
+        if a == flag and i + 1 < len(argv):
+            return argv[i + 1]
+        if a.startswith(flag + "="):
+            return a.split("=", 1)[1]
+    return ""
+
+
 def main(argv=None) -> int:
+    raw_argv = list(sys.argv[1:] if argv is None else argv)
+
+    # daemon/client modes run before full parsing: -q/-d are required for a
+    # pipeline run but a daemon starts without a job, and a client defers
+    # validation to the daemon
+    serve_sock = _flag_value(raw_argv, "--serve")
+    if serve_sock:
+        from .serve import serve_forever
+
+        return serve_forever(serve_sock, _flag_value(raw_argv, "--platform") or "auto")
+    connect_sock = _flag_value(raw_argv, "--connect")
+    if connect_sock:
+        from .serve import _strip_flag, submit
+
+        if "--shutdown" in raw_argv:
+            return submit(connect_sock, [], shutdown=True)
+        return submit(connect_sock, _strip_flag(raw_argv, "--connect"))
+
     args = build_parser().parse_args(argv)
 
     def fail(msg: str) -> int:
         print(f"error: {msg}", file=sys.stderr)
         return -1
+
+    if args.shutdown:
+        return fail("--shutdown requires --connect SOCKET")
 
     if args.platform != "auto":
         try:

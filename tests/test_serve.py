@@ -1,0 +1,143 @@
+"""Daemon mode: jobs submitted over the UNIX socket produce golden
+outputs, reuse one process (job counter), and shut down cleanly
+(sift4g_tpu/serve.py)."""
+
+import filecmp
+import json
+import os
+import signal
+import socket
+import subprocess
+import sys
+import time
+
+import pytest
+
+TEST_FILES = "/root/reference/test_files"
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(TEST_FILES), reason="reference test files not mounted"
+)
+
+
+def _wait_socket(path, proc, timeout=60.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if proc.poll() is not None:
+            raise AssertionError(
+                f"daemon died: {proc.stderr.read().decode()}"
+            )
+        if os.path.exists(path):
+            c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            try:
+                c.connect(path)
+                c.close()
+                return
+            except OSError:
+                pass
+        time.sleep(0.2)
+    raise AssertionError("daemon socket never came up")
+
+
+def _submit(sock_path, payload):
+    c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    c.connect(sock_path)
+    f = c.makefile("rwb")
+    f.write(json.dumps(payload).encode() + b"\n")
+    f.flush()
+    reply = json.loads(f.readline())
+    c.close()
+    return reply
+
+
+def test_daemon_serves_jobs_and_shuts_down(tmp_path):
+    sock = str(tmp_path / "d.sock")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "sift4g_tpu", "--serve", sock,
+         "--platform", "cpu"],
+        stderr=subprocess.PIPE, env=env,
+    )
+    try:
+        _wait_socket(sock, proc)
+
+        out1 = tmp_path / "o1"
+        out2 = tmp_path / "o2"
+        out1.mkdir()
+        out2.mkdir()
+        base = [
+            "-q", os.path.join(TEST_FILES, "query.fasta"),
+            "-d", os.path.join(TEST_FILES, "sample_protein_database.fa"),
+            "--subst", TEST_FILES, "--backend", "numpy",
+        ]
+        r1 = _submit(sock, {"argv": base + ["--out", str(out1)]})
+        assert r1["status"] == 0, r1.get("log")
+        assert r1["job"] == 1
+        # client-side flags must be stripped, not recursed
+        r2 = _submit(
+            sock,
+            {"argv": base + ["--out", str(out2), "--platform", "tpu"]},
+        )
+        assert r2["status"] == 0, r2.get("log")
+        assert r2["job"] == 2, "daemon must persist across jobs"
+        assert "SIFT predictions" in r2["log"]
+
+        for out in (out1, out2):
+            for name in ("LACI_ECOLI", "PURR_SALTY"):
+                assert filecmp.cmp(
+                    out / f"{name}.SIFTprediction",
+                    os.path.join(GOLDEN, f"{name}.SIFTprediction"),
+                    shallow=False,
+                )
+
+        # a failing job must not kill the daemon
+        r3 = _submit(sock, {"argv": ["-q", "/does/not/exist"]})
+        assert r3["status"] != 0
+        r4 = _submit(sock, {"shutdown": True})
+        assert r4["status"] == 0
+        proc.wait(timeout=30)
+        assert proc.returncode == 0
+        assert not os.path.exists(sock)
+    finally:
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGTERM)
+            proc.wait(timeout=10)
+
+
+def test_connect_cli_roundtrip(tmp_path):
+    """The --connect client ships a job and relays the daemon's log."""
+    sock = str(tmp_path / "d.sock")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "sift4g_tpu", "--serve", sock,
+         "--platform", "cpu"],
+        stderr=subprocess.PIPE, env=env,
+    )
+    try:
+        _wait_socket(sock, proc)
+        out = tmp_path / "o"
+        out.mkdir()
+        res = subprocess.run(
+            [sys.executable, "-m", "sift4g_tpu", "--connect", sock,
+             "-q", os.path.join(TEST_FILES, "query.fasta"),
+             "-d", os.path.join(TEST_FILES, "sample_protein_database.fa"),
+             "--out", str(out), "--backend", "numpy"],
+            capture_output=True, timeout=120, env=env,
+        )
+        assert res.returncode == 0, res.stderr.decode()
+        assert b"job 1 done" in res.stderr
+        assert (out / "LACI_ECOLI.SIFTprediction").is_file()
+        shut = subprocess.run(
+            [sys.executable, "-m", "sift4g_tpu", "--connect", sock,
+             "--shutdown"],
+            capture_output=True, timeout=60, env=env,
+        )
+        assert shut.returncode == 0
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGTERM)
+            proc.wait(timeout=10)
