@@ -64,7 +64,10 @@ def bench_grouped_pallas(groups=64, batch=1024, n=512, m=360, iters=6):
     lens = np.full((groups, batch), n, dtype=np.int32)
 
     args = (jnp.asarray(q_all), jnp.asarray(q_off), jnp.asarray(q_len))
-    kw = dict(max_qlen=m_pad, max_sub=11)  # BLOSUM_62 max -> int16 DP
+    # static bounds kept for shape parity with production calls (they gate
+    # the int16 path, which is dead on v5e — docs/PLATFORM.md); the kernel
+    # runs int32 with the unroll=2 production default
+    kw = dict(max_qlen=m_pad, max_sub=11)
     call = lambda t: np.asarray(
         sw_scores_pallas_grouped(*args, t, jnp.asarray(lens), m32, **kw)
     )

@@ -28,6 +28,9 @@ def main():
                     help="force the CPU platform (jax.config, pre-backend-init)")
     ap.add_argument("--overlap", default="auto", choices=["auto", "on", "off"],
                     help="prefilter/align overlap mode (A/B knob)")
+    ap.add_argument("--overlap-ab", action="store_true",
+                    help="cold + three warm runs A/B-ing overlap on/off in "
+                    "one process (one compile pass)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -48,15 +51,23 @@ def main():
         timings=True,
         overlap=args.overlap,
     )
-    runs = 2 if args.repeat else 1
-    for r in range(runs):
+    if args.overlap_ab:
+        # one process, one compile pass: cold(on) then warm A/B runs —
+        # overlap on/off reuse identical kernel shapes
+        schedule = [("cold", "on"), ("warm-on", "on"), ("warm-off", "off"),
+                    ("warm-on2", "on")]
+    else:
+        tags = ["cold", "warm"] if args.repeat else ["cold"]
+        schedule = [(t, args.overlap) for t in tags]
+    for tag, ov in schedule:
+        cfg.overlap = ov
         t0 = time.perf_counter()
         queries = run_pipeline(cfg)
         dt = time.perf_counter() - t0
-        tag = "warm" if r else "cold"
         print(
             f"pipeline[{tag}]: {len(queries)} queries in {dt:.2f}s "
-            f"-> {len(queries) / dt:.3f} queries/s [backend={args.backend}]",
+            f"-> {len(queries) / dt:.3f} queries/s "
+            f"[backend={args.backend} overlap={ov}]",
             file=sys.stderr,
         )
 
