@@ -317,6 +317,16 @@ class BatchAligner:
             from .xla import _extend_matrix
             import jax.numpy as jnp
 
+            # The Pallas kernels store substitution planes as int8; a
+            # matrix entry outside int8 would be clamped silently inside
+            # jit and break the cross-backend bit-equality invariant, so
+            # refuse it here (all bundled BLOSUM/PAM tables fit easily).
+            amax = int(np.abs(self.scorer.matrix).max())
+            if amax > 127:
+                raise ValueError(
+                    f"substitution scores must fit int8 for the TPU kernels "
+                    f"(|score| max {amax} > 127)"
+                )
             self._matrix32 = jnp.asarray(_extend_matrix(self.scorer.matrix))
         return self._matrix32
 

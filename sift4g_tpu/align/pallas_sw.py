@@ -189,9 +189,9 @@ def _sw_grouped_kernel(
     inside the int16 range — but Mosaic cannot legalize i16 vector maxsi
     on v5e (measured 2026-08-17), so the gate stays off on hardware.
 
-    ``unroll=2`` runs two query rows per loop iteration (halves the
-    per-iteration scalar/loop overhead; the odd final row runs under
-    pl.when) — A/B knob for hardware measurement."""
+    ``unroll=u`` runs u query rows per loop iteration (amortizes the
+    per-iteration scalar/loop overhead; up to u-1 remainder rows run
+    under pl.when) — A/B knob for hardware measurement."""
     g = pl.program_id(0)
     B, N = h_scr.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
@@ -285,16 +285,19 @@ def _sw_grouped_kernel(
     if unroll <= 1:
         jax.lax.fori_loop(0, qlen, row_body, 0, unroll=False)
     else:
-        def pair_body(k, _):
-            row_body(2 * k, 0)
-            row_body(2 * k + 1, 0)
+        def blk_body(k, _):
+            for j in range(unroll):
+                row_body(unroll * k + j, 0)
             return 0
 
-        jax.lax.fori_loop(0, qlen // 2, pair_body, 0, unroll=False)
+        n_blk = qlen // unroll
+        jax.lax.fori_loop(0, n_blk, blk_body, 0, unroll=False)
 
-        @pl.when(qlen % 2 == 1)
-        def _():
-            row_body(qlen - 1, 0)
+        base = n_blk * unroll
+        for j in range(unroll - 1):
+            @pl.when(base + j < qlen)
+            def _(j=j):
+                row_body(base + j, 0)
 
     # final reductions in int32: Mosaic does not lower int16 reductions
     col_valid = col < lens01

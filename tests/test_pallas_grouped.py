@@ -16,7 +16,7 @@ def test_grouped_matches_xla(mode):
 
     rng = np.random.default_rng(13)
     G, B, N, m_pad = 3, 8, 128, 64
-    qlens = np.array([50, 17, 64], dtype=np.int32)
+    qlens = np.array([51, 17, 64], dtype=np.int32)  # mod-4 classes 3/1/0
     q_all = np.full(G * m_pad, PAD_CODE, dtype=np.int32)
     q_offsets = (np.arange(G) * m_pad).astype(np.int32)
     for g in range(G):
@@ -52,7 +52,7 @@ def test_grouped_matches_xla(mode):
             )
         )
         # single-row loop vs the two-row production default (qlens cover
-        # odd 17 and even 50/64 — both the paired body and the pl.when
+        # odd 17/51 and even 64 — both the paired body and the pl.when
         # odd-tail row of the unroll=2 default)
         got_u1 = np.asarray(
             sw_scores_pallas_grouped(
@@ -60,9 +60,17 @@ def test_grouped_matches_xla(mode):
                 unroll=1,
             )
         )
+        # four-row unroll (qlens hit remainder classes 3, 1 and 0)
+        got_u4 = np.asarray(
+            sw_scores_pallas_grouped(
+                q_all, q_offsets, qlens, targets, lens, m32, mode=mode,
+                unroll=4,
+            )
+        )
     np.testing.assert_array_equal(got16, got)
     np.testing.assert_array_equal(got_cs, got)
     np.testing.assert_array_equal(got_u1, got)
+    np.testing.assert_array_equal(got_u4, got)
     for g in range(G):
         ref = np.asarray(
             align_scores_kernel(

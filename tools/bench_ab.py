@@ -146,10 +146,10 @@ def run_roofline(B=1024, N=512, iters=6):
     }))
 
 
-def run_unroll(groups=64, batch=1024, n=512, m=360, iters=6):
-    """Hardware A/B: grouped kernel with unroll=2 (two query rows per loop
-    iteration).  Compare against the same-day int32 unroll=1 measurement
-    (46.7 GCUPS, 2026-08-17); bit-parity with unroll=1 is interpret-tested
+def run_unroll(groups=64, batch=1024, n=512, m=360, iters=6, u=2):
+    """Hardware A/B: grouped kernel with unroll=u query rows per loop
+    iteration.  Compare against the same-day int32 unroll=1 measurement
+    (46.7 GCUPS, 2026-08-17); bit-parity across unrolls is interpret-tested
     (test_pallas_grouped.py)."""
     import jax.numpy as jnp
 
@@ -174,7 +174,7 @@ def run_unroll(groups=64, batch=1024, n=512, m=360, iters=6):
     args = (jnp.asarray(q_all), jnp.asarray(q_off), jnp.asarray(q_len))
     cells = groups * m * batch * n
     call = lambda t: np.asarray(
-        sw_scores_pallas_grouped(*args, t, lens, m32, unroll=2)
+        sw_scores_pallas_grouped(*args, t, lens, m32, unroll=u)
     )
     t0 = time.perf_counter()
     _ = call(targets[0])
@@ -185,7 +185,7 @@ def run_unroll(groups=64, batch=1024, n=512, m=360, iters=6):
         _ = call(targets[i + 1])
         times.append(time.perf_counter() - t0)
     print(json.dumps({
-        "metric": "sw_score_gcups[unroll2]",
+        "metric": f"sw_score_gcups[unroll{u}]",
         "gcups": round(cells / min(times) / 1e9, 2),
         "all_gcups": [round(cells / t / 1e9, 2) for t in times],
         "compile_s": round(compile_s, 1),
@@ -222,6 +222,8 @@ def main():
         run_roofline()
     elif cmd == "unroll":
         run_unroll()
+    elif cmd == "unroll4":
+        run_unroll(u=4)
     elif cmd == "native":
         run_native()
     else:
