@@ -154,9 +154,12 @@ def bench_native_cpu(n_targets=4096, n=512, m=360):
     return m * n * n_targets / dt / 1e9
 
 
-# Measured VPU peak (tools/bench_ab.py roofline) / kernel ops per cell —
-# see docs/PLATFORM.md "Roofline"; None until re-measured on new hardware.
-ROOFLINE_GCUPS = None
+# Measured roofline: the exact SW row recurrence with a runtime row count
+# and no launch/planes/scalar overhead sustains this marginal rate on v5e
+# (tools/bench_ab.py dprow, 2026-08-17; docs/PLATFORM.md "Roofline").
+# The production kernel's marginal rate is 56-58 GCUPS (~97-100% of this);
+# the launch-amortized bench number carries the ~30 ms launch tax.
+ROOFLINE_GCUPS = 58.24
 
 
 def main():

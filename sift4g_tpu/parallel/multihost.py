@@ -59,10 +59,22 @@ def init_distributed_from_env() -> Optional[HostContext]:
     """Join the multi-host job described by SIFT4G_COORDINATOR /
     SIFT4G_NUM_PROCESSES / SIFT4G_PROCESS_ID; None when not configured.
 
+    ``SIFT4G_MULTIHOST=auto`` instead joins a real TPU pod slice:
+    ``jax.distributed.initialize()`` with no arguments discovers the
+    coordinator and process layout from the TPU runtime metadata (the
+    standard one-process-per-host pod launch; docs/MULTIHOST.md recipe).
+
     Must run before any JAX device use.  On CPU platforms the Gloo
     cross-process collective backend is selected (the virtual test mesh);
     TPU pods use their native ICI/DCN transport.
     """
+    if os.environ.get("SIFT4G_MULTIHOST") == "auto":
+        import jax
+
+        jax.distributed.initialize()
+        if jax.process_count() <= 1:
+            return None
+        return HostContext(jax.process_index(), jax.process_count())
     coord = os.environ.get("SIFT4G_COORDINATOR")
     if not coord:
         return None
