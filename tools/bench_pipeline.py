@@ -53,9 +53,10 @@ def main():
     )
     if args.overlap_ab:
         # one process, one compile pass: cold(on) then warm A/B runs —
-        # overlap on/off reuse identical kernel shapes
-        schedule = [("cold", "on"), ("warm-on", "on"), ("warm-off", "off"),
-                    ("warm-on2", "on")]
+        # overlap on/off reuse identical kernel shapes; arms INTERLEAVE so
+        # relay-latency drift hits both equally
+        schedule = [("cold", "on"), ("warm-off", "off"), ("warm-on", "on"),
+                    ("warm-off2", "off"), ("warm-on2", "on")]
     else:
         tags = ["cold", "warm"] if args.repeat else ["cold"]
         schedule = [(t, args.overlap) for t in tags]
