@@ -262,11 +262,20 @@ class CachedFastaStream:
     def read_part_arrays(self, max_residues: int):
         n = self._hi
         start = self._pos
-        budget = max_residues
-        i = start
-        while i < n and budget > 0:
-            budget -= int(self._offsets[i + 1] - self._offsets[i])
-            i += 1
+        # part boundary: include records while the residue budget is > 0,
+        # i.e. stop at the first i with offsets[i] - offsets[start] >=
+        # max_residues (the record that exhausts the budget is included) —
+        # same semantics as the per-record loop of the parsers, found
+        # vectorized (a Python loop here cost ~0.35 s per 256 MB part at
+        # UniRef90 scale, serializing against the native scan)
+        i = int(
+            np.searchsorted(
+                self._offsets, self._offsets[start] + max_residues, side="left"
+            )
+        )
+        i = max(start + 1, min(i, n))
+        if start >= n:
+            i = start
         self._pos = i
         base = self._offsets[start]
         codes = self._codes[base : self._offsets[i]]
