@@ -117,7 +117,16 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
     // screens ~99.9% of k-mers without touching the 108 MB offsets table.
     st->touched.clear();
     const uint64_t* present = ctx->present.data();
-    for (uint32_t kv : st->kmers) {
+    // the bitmap probe is a random access into a multi-MB table (one LLC
+    // round trip per k-mer dominates the scan: ~13 cycles/residue); the
+    // k-mer list is already materialized, so prefetch a fixed distance
+    // ahead to overlap the misses
+    const size_t nk = st->kmers.size();
+    const size_t kPrefetchDist = 16;
+    for (size_t ki = 0; ki < nk; ++ki) {
+      if (ki + kPrefetchDist < nk)
+        __builtin_prefetch(&present[st->kmers[ki + kPrefetchDist] >> 6], 0, 1);
+      const uint32_t kv = st->kmers[ki];
       if (!((present[kv >> 6] >> (kv & 63)) & 1)) continue;
       int64_t s = starts[kv], e = starts[kv + 1];
       for (int64_t h = s; h < e; ++h) {
@@ -183,12 +192,24 @@ uint64_t sift4g_search_chunk(void* handle, const uint8_t* codes,
     st.qpos.resize(ctx->n_queries);
   }
   std::vector<std::thread> threads;
-  const int64_t per = (n_seq + nt - 1) / nt;
+  // residue-balanced contiguous ranges (the reference splits by sequence
+  // count, database_search.cpp:101-106; real databases have long-tailed
+  // length distributions, so balance on offsets instead — candidate sets
+  // are split-independent because per-thread lists merge at chunk end)
+  const int64_t total_res = offsets[n_seq];
+  int64_t lo = 0;
   for (int t = 0; t < nt; ++t) {
-    int64_t lo = t * per, hi = std::min<int64_t>(n_seq, lo + per);
-    if (lo >= hi) break;
+    int64_t hi;
+    if (t == nt - 1) {
+      hi = n_seq;
+    } else {
+      const int64_t target = total_res / nt * (t + 1);
+      hi = std::lower_bound(offsets + lo, offsets + n_seq, target) - offsets;
+    }
+    if (lo >= hi) continue;
     threads.emplace_back(scan_range, ctx, codes, offsets, lo, hi, start_index,
                          &states[t]);
+    lo = hi;
   }
   for (auto& th : threads) th.join();
 

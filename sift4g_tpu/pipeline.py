@@ -236,6 +236,14 @@ def _overlap_cache(cfg: PipelineConfig):
     if cfg.overlap == "auto":
         if cfg.align_backend == "numpy":
             return None
+        # Overlap costs roughly a core of host work while the scan runs
+        # (launch dispatch + relay transfer serialization + fetch
+        # resolution).  On a 4-core host that inflates the search phase
+        # more than it hides align time (measured 5M-seq A/B,
+        # docs/PLATFORM.md "Prefilter/align overlap"): auto enables it
+        # only when cores are plentiful relative to the scan's scaling.
+        if (os.cpu_count() or 1) < 8:
+            return None
         import jax
 
         if jax.devices()[0].platform == "cpu":
@@ -268,17 +276,22 @@ def _run_overlapped(
     final (E-value filter, score desc/id asc truncate) runs once globally
     — the same set the per-chunk truncate + merge produces."""
     import time as _time
+    from concurrent.futures import ThreadPoolExecutor
 
     log = cfg.log
     aligner = BatchAligner(scorer, mode=cfg.algorithm, backend=cfg.align_backend)
     prov: List[dict] = [dict() for _ in queries]
-    pending: dict = {}
+    # Fetches go through the remote runtime with high latency variance
+    # (seconds); resolving them inside the chunk callback stalls the
+    # native scan (measured: overlap-on inflated the 5M search phase from
+    # ~10 s to 20-44 s).  A single resolve worker keeps the scan free:
+    # the C++ scan holds no GIL and the fetch waits in an RPC, so they
+    # truly overlap.  One worker => resolves stay ordered and the prov
+    # dict needs no lock (read only after shutdown).
+    resolver = ThreadPoolExecutor(max_workers=1)
+    resolves: List = []
 
-    def _resolve():
-        fetch = pending.pop("fetch", None)
-        if fetch is None:
-            return
-        meta = pending.pop("meta")
+    def _resolve_one(fetch, meta):
         t0 = _time.perf_counter()
         all_scores = fetch()
         metrics.add("align.fetch", seconds=_time.perf_counter() - t0)
@@ -304,25 +317,28 @@ def _run_overlapped(
             metrics.add(
                 "align", cells=float(len(query)) * float(int(lens.sum()))
             )
-        _resolve()  # previous chunk's scores (device finished during scan)
         if items:
             t0 = _time.perf_counter()
-            pending["fetch"] = aligner.scores_many_async(items)
-            pending["meta"] = meta
+            fetch = aligner.scores_many_async(items)
             metrics.add("align.dispatch", seconds=_time.perf_counter() - t0)
+            resolves.append(resolver.submit(_resolve_one, fetch, meta))
 
-    with metrics.phase("search"):
-        indices, cells = search_database(
-            cfg.database_path,
-            queries,
-            kmer_length=cfg.kmer_length,
-            max_candidates=cfg.max_candidates,
-            chunk_bytes=cfg.search_chunk_bytes,
-            log=log,
-            threads=cfg.threads,
-            on_chunk=on_chunk,
-        )
-        _resolve()
+    try:
+        with metrics.phase("search"):
+            indices, cells = search_database(
+                cfg.database_path,
+                queries,
+                kmer_length=cfg.kmer_length,
+                max_candidates=cfg.max_candidates,
+                chunk_bytes=cfg.search_chunk_bytes,
+                log=log,
+                threads=cfg.threads,
+                on_chunk=on_chunk,
+            )
+            for fut in resolves:
+                fut.result()  # propagate fetch errors; all scores landed
+    finally:
+        resolver.shutdown(wait=True)
     metrics.add("search", db_residues=float(cells), queries=float(len(queries)))
 
     evalue_params = create_evalue_params(cells, scorer, log=log)

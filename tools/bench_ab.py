@@ -385,6 +385,13 @@ def main():
         run_unroll()
     elif cmd == "unroll4":
         run_unroll(u=4)
+    elif cmd == "g128":
+        # launch-tax A/B: doubled grid (24 Gcells/launch vs 12) against the
+        # same-day G=64 number — the remaining roofline gap is launch
+        # amortization, not DP compute (docs/PLATFORM.md "Roofline")
+        run_unroll(groups=128)
+    elif cmd == "g64":
+        run_unroll(groups=64)
     elif cmd == "native":
         run_native()
     else:
