@@ -76,7 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overlap", default="auto", choices=["auto", "on", "off"],
                    help="overlap the prefilter scan with device scoring "
                    "(default: auto — on when an accelerator, the parse "
-                   "cache and the native engine are all present)")
+                   "cache, the native engine and >= 8 host cores are all "
+                   "present; the relay client's dispatch work costs about "
+                   "a core while the scan runs)")
     p.add_argument("--serve", default="", metavar="SOCKET",
                    help="run as a long-lived daemon on this UNIX socket, "
                    "keeping compiled kernels warm across jobs (the remote "

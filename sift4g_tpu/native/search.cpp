@@ -139,13 +139,36 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
     const float len_f = static_cast<float>(n);
     const int64_t db_index = start_index + si;
     for (int32_t q : st->touched) {
-      const float score = static_cast<float>(lis_length(st->qpos[q], st->tails)) / len_f;
-      st->qpos[q].clear();
       auto& lst = st->cands[q];
       float& floor = st->floors[q];
+      // exact LIS skip: lis <= n_hits, so when the list is full and even
+      // n_hits/len cannot beat the admission floor the candidate cannot
+      // be admitted — identical candidate sets, no O(h log h) work.  At
+      // many-query scale (the human-missense mode) this removes the
+      // dominant cost once floors rise.
+      if (static_cast<int>(lst.size()) >= maxc &&
+          static_cast<float>(st->qpos[q].size()) / len_f <= floor) {
+        st->qpos[q].clear();
+        continue;
+      }
+      const float score = static_cast<float>(lis_length(st->qpos[q], st->tails)) / len_f;
+      st->qpos[q].clear();
       if (static_cast<int>(lst.size()) < maxc || score > floor) {
         lst.push_back({score, db_index});
         if (score < floor) floor = score;
+        // periodic local truncation: sort by (score desc, id asc), keep
+        // max_candidates, raise the floor to the local k-th best.  Exact:
+        // within a thread ids ascend, so any later candidate with
+        // score <= floor is outranked by >= maxc retained entries under
+        // the total order and cannot reach the merged top-k.  This bounds
+        // list memory (chunk-1 floors start at the sentinel, so unbounded
+        // admission would otherwise grow lists ~linearly in hit volume)
+        // and makes the LIS skip fire within the first chunk.
+        if (static_cast<int>(lst.size()) >= 2 * maxc) {
+          std::sort(lst.begin(), lst.end(), cand_less);
+          lst.resize(maxc);
+          floor = lst.back().score;
+        }
       }
     }
   }

@@ -162,3 +162,38 @@ def test_native_search_thread_count_independent(tmp_path):
             lib.sift4g_search_destroy(ctx)
     np.testing.assert_array_equal(results[0][0], results[1][0])
     np.testing.assert_array_equal(results[0][1], results[1][1])
+
+
+def test_native_search_truncation_tie_parity(tmp_path):
+    """Stress the mid-chunk local truncation + floor raise (search.cpp):
+    fixed-length low-alphabet targets produce heavy score ties, small
+    max_candidates forces repeated 2x-maxc truncations, and candidates
+    arriving later with score == floor must be rejected exactly as the
+    NumPy oracle's total order (score desc, id asc) dictates."""
+    from sift4g_tpu.prefilter import search as S
+
+    rng = np.random.default_rng(99)
+    recs = []
+    for i in range(400):
+        seq = "".join(chr(ord("A") + c) for c in rng.integers(0, 4, 40))
+        recs.append(f">t{i}\n{seq}\n")
+    path = _write(tmp_path, "".join(recs))
+    queries = [
+        Chain(name=f"q{i}", codes=rng.integers(0, 4, 60).astype(np.uint8))
+        for i in range(3)
+    ]
+    devnull = open(os.devnull, "w")
+    for max_cand in (4, 16):
+        for chunk in (1 << 40, 2000):
+            got_idx, _ = S._search_database_native(
+                lib, path, queries, 3, max_cand, chunk, devnull
+            )
+            os.environ["SIFT4G_TPU_NO_NATIVE"] = "1"
+            try:
+                want_idx, _ = S.search_database(
+                    path, queries, 3, max_cand, chunk, log=devnull
+                )
+            finally:
+                del os.environ["SIFT4G_TPU_NO_NATIVE"]
+            for a, b in zip(got_idx, want_idx):
+                np.testing.assert_array_equal(a, b)
