@@ -28,6 +28,10 @@ def main():
                     help="force the CPU platform (jax.config, pre-backend-init)")
     ap.add_argument("--overlap", default="auto", choices=["auto", "on", "off"],
                     help="prefilter/align overlap mode (A/B knob)")
+    ap.add_argument("--predict-backend", default="host",
+                    choices=["host", "device"],
+                    help="matrix-mode prediction path (device = bucketed "
+                    "vmapped scores, the many-query missense mode)")
     ap.add_argument("--overlap-ab", action="store_true",
                     help="cold + three warm runs A/B-ing overlap on/off in "
                     "one process (one compile pass)")
@@ -50,6 +54,7 @@ def main():
         max_candidates=args.max_candidates,
         timings=True,
         overlap=args.overlap,
+        predict_backend=args.predict_backend,
     )
     if args.overlap_ab:
         # one process, one compile pass: cold(on) then warm A/B runs —
