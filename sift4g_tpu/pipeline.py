@@ -242,7 +242,13 @@ def _overlap_cache(cfg: PipelineConfig):
         # more than it hides align time (measured 5M-seq A/B,
         # docs/PLATFORM.md "Prefilter/align overlap"): auto enables it
         # only when cores are plentiful relative to the scan's scaling.
-        if (os.cpu_count() or 1) < 8:
+        # Count effectively AVAILABLE cores (affinity/cgroup-aware), not
+        # installed ones.
+        try:
+            n_cores = len(os.sched_getaffinity(0))
+        except (AttributeError, OSError):
+            n_cores = os.cpu_count() or 1
+        if n_cores < 8:
             return None
         import jax
 
@@ -322,6 +328,12 @@ def _run_overlapped(
             fetch = aligner.scores_many_async(items)
             metrics.add("align.dispatch", seconds=_time.perf_counter() - t0)
             resolves.append(resolver.submit(_resolve_one, fetch, meta))
+        # drain finished resolves (surfaces a dead-relay error at the next
+        # chunk instead of hours later) and bound the in-flight backlog —
+        # each pending resolve pins a chunk's device results, so block on
+        # the oldest rather than queue without limit when fetches lag
+        while resolves and (resolves[0].done() or len(resolves) > 2):
+            resolves.pop(0).result()
 
     try:
         with metrics.phase("search"):

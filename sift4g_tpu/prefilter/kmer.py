@@ -70,11 +70,17 @@ class QueryKmerHash:
         # counting pass without bincount: np.bincount touches all
         # ``minlength`` bins (~1.3 s at the 27M-entry k=5 table) while the
         # queries contribute only a few thousand distinct k-mers — scatter
-        # the unique counts and prefix-sum in place instead (~0.15 s)
+        # the unique counts and prefix-sum in place instead (~0.15 s).
+        # uniq/counts come off the already-sorted array directly (np.unique
+        # would pay a second sort)
         order = np.argsort(kmers, kind="stable")
-        uniq, uniq_counts = np.unique(kmers[order], return_counts=True)
+        sk = kmers[order]
         self.starts = np.zeros(table_size + 1, dtype=np.int32)
-        self.starts[uniq.astype(np.int64) + 1] = uniq_counts.astype(np.int32)
+        if sk.size:
+            b = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+            uniq = sk[np.concatenate(([0], b))]
+            counts = np.diff(np.concatenate(([0], b, [sk.size])))
+            self.starts[uniq.astype(np.int64) + 1] = counts.astype(np.int32)
         np.cumsum(self.starts, out=self.starts)
         # stable sort by kmer preserves (query, position) scan order per kmer
         self.hit_query = qids[order]

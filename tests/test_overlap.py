@@ -102,9 +102,9 @@ def test_overlap_auto_gates_on_core_count(tmp_path, monkeypatch):
         query_path=q, database_path=db, out_path=str(tmp_path),
         align_backend="native", overlap="auto", log=open(os.devnull, "w"),
     )
-    monkeypatch.setattr(P.os, "cpu_count", lambda: 4)
+    monkeypatch.setattr(P.os, "sched_getaffinity", lambda pid: set(range(4)))
     assert P._overlap_cache(cfg) is None
-    monkeypatch.setattr(P.os, "cpu_count", lambda: 16)
+    monkeypatch.setattr(P.os, "sched_getaffinity", lambda pid: set(range(16)))
     # with >= 8 cores, auto proceeds to the accelerator gate (cpu -> None
     # on the hermetic test platform, exercising the next condition)
     import jax
