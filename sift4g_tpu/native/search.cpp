@@ -61,9 +61,18 @@ struct SearchCtx {
 };
 
 // Patience LIS length, strictly increasing (database_search.cpp:255-280).
-int lis_length(const std::vector<int32_t>& xs, std::vector<int32_t>& tails) {
+// ``min_needed``: abort (returning the current lower bound) as soon as even
+// extending by every remaining element cannot reach it — exact when the
+// caller only needs to know whether LIS >= min_needed (admission check),
+// because the returned value is then provably < min_needed too.
+int lis_length(const std::vector<int32_t>& xs, std::vector<int32_t>& tails,
+               int min_needed = 0) {
   tails.clear();
-  for (int32_t x : xs) {
+  const size_t n = xs.size();
+  for (size_t i = 0; i < n; ++i) {
+    if (static_cast<int>(tails.size() + (n - i)) < min_needed)
+      return static_cast<int>(tails.size());
+    const int32_t x = xs[i];
     auto it = std::lower_bound(tails.begin(), tails.end(), x);
     if (it == tails.end())
       tails.push_back(x);
@@ -146,12 +155,23 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
       // be admitted — identical candidate sets, no O(h log h) work.  At
       // many-query scale (the human-missense mode) this removes the
       // dominant cost once floors rise.
-      if (static_cast<int>(lst.size()) >= maxc &&
-          static_cast<float>(st->qpos[q].size()) / len_f <= floor) {
-        st->qpos[q].clear();
-        continue;
+      int min_needed = 0;
+      if (static_cast<int>(lst.size()) >= maxc) {
+        if (static_cast<float>(st->qpos[q].size()) / len_f <= floor) {
+          st->qpos[q].clear();
+          continue;
+        }
+        // smallest integer L with (float)L/len > floor — admission needs
+        // LIS >= L, so the LIS can abort once it provably falls short.
+        // Derived under the same float division the score uses (the +-1
+        // scan absorbs rounding at the boundary).
+        int L = static_cast<int>(floor * len_f);
+        while (L > 0 && static_cast<float>(L - 1) / len_f > floor) --L;
+        while (static_cast<float>(L) / len_f <= floor) ++L;
+        min_needed = L;
       }
-      const float score = static_cast<float>(lis_length(st->qpos[q], st->tails)) / len_f;
+      const float score =
+          static_cast<float>(lis_length(st->qpos[q], st->tails, min_needed)) / len_f;
       st->qpos[q].clear();
       if (static_cast<int>(lst.size()) < maxc || score > floor) {
         lst.push_back({score, db_index});
