@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "cache, the native engine and >= 8 host cores are all "
                    "present; the relay client's dispatch work costs about "
                    "a core while the scan runs)")
+    p.add_argument("--mh-shard", default="db", choices=["db", "queries"],
+                   help="multi-host partition axis: shard the database "
+                   "(merge candidates/winners; few queries x huge db) or "
+                   "shard the queries (each host owns a slice end to end; "
+                   "the many-query missense mode)")
     p.add_argument("--serve", default="", metavar="SOCKET",
                    help="run as a long-lived daemon on this UNIX socket, "
                    "keeping compiled kernels warm across jobs (the remote "
@@ -218,6 +223,7 @@ def _run_one(args, query_path: str, host_ctx=None) -> None:
         timings=args.timings,
         threads=args.threads,
         overlap=args.overlap,
+        multihost_shard=args.mh_shard,
     )
     if host_ctx is not None:
         from .parallel.multihost import run_pipeline_multihost

@@ -151,10 +151,47 @@ def _merge_candidates(per_host_scored, n_queries: int, max_candidates: int):
     return indices
 
 
+def _run_queries_sharded(cfg, ctx: HostContext):
+    """Query-sharded multi-host: host ``h`` owns the contiguous query slice
+    [n*h/H, n*(h+1)/H) of the query FASTA and runs the UNSHARDED pipeline
+    on it (full database scan per host).
+
+    This is the missense/proteome mode (thousands of matrix-mode queries):
+    per-query outputs are independent files, so there are no cross-host
+    merges and outputs are trivially byte-identical to a single process.
+    Each host writes its own queries' files (the reference writes one file
+    per query, sift_prediction.cpp:220-234); a final barrier makes "done"
+    mean every host's files exist.  Prefer this axis when queries are
+    plentiful — the per-host k-mer table covers only its query slice, and
+    prefilter hit work (the many-query cost driver, ROADMAP) divides by
+    the host count; shard the database instead when queries are few.
+    """
+    from ..io.fasta import read_fasta
+    from ..pipeline import run_pipeline
+    from dataclasses import replace
+
+    n = len(read_fasta(cfg.query_path))
+    lo = n * ctx.process_id // ctx.num_processes
+    hi = n * (ctx.process_id + 1) // ctx.num_processes
+    log = cfg.log
+    print(
+        f"** Multi-host (query-sharded): {ctx.num_processes} hosts; this is "
+        f"host {ctx.process_id} with queries [{lo}, {hi}) of {n} **",
+        file=log,
+    )
+    sub = replace(cfg, query_range=(lo, hi))
+    queries = run_pipeline(sub)
+    allgather_bytes(b"done", ctx.num_processes)  # barrier: all files on disk
+    return queries
+
+
 def run_pipeline_multihost(cfg, ctx: HostContext):
     """Distributed twin of pipeline.run_pipeline; host 0 writes all output."""
     from ..io.fasta import read_fasta
     from ..pipeline import align_database, finish_pipeline
+
+    if getattr(cfg, "multihost_shard", "db") == "queries":
+        return _run_queries_sharded(cfg, ctx)
 
     log = cfg.log if ctx.is_primary else open(os.devnull, "w")
     metrics = PhaseMetrics(log=log, enabled=cfg.timings and ctx.is_primary)

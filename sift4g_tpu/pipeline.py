@@ -90,6 +90,15 @@ class PipelineConfig:
     # all present; "on" forces it (CPU tests); "off" keeps the reference's
     # strict two-phase order (main.cpp:204-218)
     overlap: str = "auto"
+    # process only queries [lo, hi) of the query FASTA (multi-host query
+    # sharding; applied BEFORE subst validation so the partition is
+    # deterministic across hosts)
+    query_range: Optional[tuple] = None
+    # multi-host partitioning axis: "db" (shard the database, merge
+    # candidates/winners — the few-queries x huge-db mode) or "queries"
+    # (each host owns a contiguous query slice end to end — the
+    # missense/proteome mode, no cross-host merges)
+    multihost_shard: str = "db"
 
 
 def align_database(
@@ -389,6 +398,9 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
     log = cfg.log
     metrics = PhaseMetrics(log=log, enabled=cfg.timings)
     queries = read_fasta(cfg.query_path)
+    if cfg.query_range is not None:
+        lo, hi = cfg.query_range
+        queries = queries[lo:hi]
     print("** Checking query data and substitutions files **", file=log)
     queries = check_data(queries, cfg.subst_path, log=log)
     if not queries:

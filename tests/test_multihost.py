@@ -165,3 +165,24 @@ def test_multihost_synthetic_db_matches_single_process(tmp_path):
         assert filecmp.cmp(single / name, multi / name, shallow=False), (
             f"{name} differs between single-process and 2-host runs"
         )
+
+
+def test_multihost_query_sharded_matches_goldens(tmp_path):
+    """--mh-shard queries: each host owns a contiguous query slice end to
+    end (the missense/proteome mode).  With 2 hosts and the 2-query bundled
+    set, each host processes exactly one query; the union of per-host
+    output files must byte-equal the goldens."""
+    out = tmp_path / "mhq"
+    out.mkdir()
+    _run_multihost([
+        "-q", os.path.join(TEST_FILES, "query.fasta"),
+        "-d", os.path.join(TEST_FILES, "sample_protein_database.fa"),
+        "--subst", TEST_FILES,
+        "--out", str(out),
+        "--backend", "numpy",
+        "--mh-shard", "queries",
+    ])
+    for name in ("LACI_ECOLI", "PURR_SALTY"):
+        got = out / f"{name}.SIFTprediction"
+        want = os.path.join(GOLDEN, f"{name}.SIFTprediction")
+        assert filecmp.cmp(got, want, shallow=False), f"{name} differs"
