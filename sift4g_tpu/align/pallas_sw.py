@@ -163,14 +163,9 @@ def _sw_grouped_kernel(
     qoff_ref,     # SMEM (G,) i32 — per-group offset into q_ref
     qlen_ref,     # SMEM (G,) i32 — per-group query length
     m32_ref,      # SMEM (1024,) i32
-    targets_ref,  # VMEM (1, B, N) i32 — this group's block
-    lens_ref,     # VMEM (1, B, 1) i32
-    out_ref,      # VMEM (1, B, 1) i32
-    planes_scr,   # VMEM (26, B, N) int8
-    h_scr,        # VMEM (B, N) i32
-    f_scr,        # VMEM (B, N) i32
-    best_scr,     # VMEM (B, N) i32
-    *,
+    *rest,        # non-resident: targets(1,B,N) VMEM, lens, out, 4 scratch
+                  # resident: db(HBM flat), tstart(1,B) SMEM, lens, out,
+                  #           slab(B,N) u8 + DMA sem + 4 scratch
     mode: str,
     go: int,
     ge: int,
@@ -178,6 +173,7 @@ def _sw_grouped_kernel(
     neg: int = NEG,
     shift_impl: str = "roll",
     unroll: int = 1,
+    resident: bool = False,
 ):
     """Grid-of-groups variant: one launch scores G (query, target-batch)
     pairs.  Kernel launches cost ~30 ms each through a remote-attached
@@ -191,14 +187,81 @@ def _sw_grouped_kernel(
 
     ``unroll=u`` runs u query rows per loop iteration (amortizes the
     per-iteration scalar/loop overhead; up to u-1 remainder rows run
-    under pl.when) — A/B knob for hardware measurement."""
+    under pl.when) — A/B knob for hardware measurement.
+
+    ``resident=True`` reads target rows from the HBM-RESIDENT database
+    codes array instead of a host-shipped (G, B, N) slab: per row, a
+    dynamic-offset DMA copies N bytes starting at the row's flat offset
+    into the VMEM slab (a bounded lag window keeps ~16 DMAs in flight).
+    Rows may read past their sequence's end into neighboring sequences —
+    the same already-proven invariant as the native packer's
+    uninitialized tails (pack.cpp): the DP output is length-masked, so
+    garbage beyond ``len`` never reaches a valid column."""
     g = pl.program_id(0)
+    if resident:
+        (db_ref, tstart_ref, lens_ref, out_ref,
+         slab_scr, tstage_scr, dma_sem, planes_scr, h_scr, f_scr,
+         best_scr) = rest
+    else:
+        (targets_ref, lens_ref, out_ref,
+         planes_scr, h_scr, f_scr, best_scr) = rest
     B, N = h_scr.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
 
+    if resident:
+        LAG = 16  # outstanding DMAs: enough to hide HBM latency, small
+                  # enough to stay inside the DMA queue
+        # Layout dance forced by the Mosaic DMA rules (all measured, v5e):
+        # flat u8 HBM slices need 1024-aligned offsets AND sizes, 2-D VMEM
+        # destination rows need 8-sublane granularity — so both sides are
+        # shaped so every dynamic index sits on dimension 0 ABOVE full
+        # (8, 128) tiles: the database is (n_slots, 8, 128) (one 1024-byte
+        # slot per row) and the slab is (B, ns, 8, 128) (ns slots per
+        # target window).  Offsets ship as SLOT indices (a runtime byte
+        # offset cannot be PROVEN 1024-divisible by the compiler).
+        ns = slab_scr.shape[1]
+
+        def _dma_start(b):
+            pltpu.make_async_copy(
+                db_ref.at[pl.ds(tstart_ref[0, 0, b], ns)],
+                slab_scr.at[b],
+                dma_sem,
+            ).start()
+
+        def _dma_wait(b):
+            # descriptor only carries the byte count + semaphore; the
+            # source slice is immaterial for the wait
+            pltpu.make_async_copy(
+                db_ref.at[pl.ds(0, ns)], slab_scr.at[b], dma_sem
+            ).wait()
+
+        def _copy_body(i, _):
+            @pl.when(i < B)
+            def _():
+                _dma_start(i)
+
+            @pl.when(i >= LAG)
+            def _():
+                _dma_wait(i - LAG)
+
+            return 0
+
+        jax.lax.fori_loop(0, B + LAG, _copy_body, 0, unroll=False)
+
     # upcast int8 codes once — bit-mask i1 vectors derived from int8 hit a
     # Mosaic relayout bug ("Non-singleton logical dimension is replicated")
-    t = targets_ref[0].astype(jnp.int32)
+    if resident:
+        # assemble (B, N) target codes from the slab's 128-lane segments.
+        # Staged through scratch with static lane-slice STORES: each
+        # slab_scr[:, slot, sub, :] slice carries a different sublane
+        # phase in its layout, and Mosaic cannot concat those directly
+        # ("result/input offset mismatch on non-concat dimension") — a
+        # store normalizes the layout.
+        for s in range(N // 128):
+            tstage_scr[:, s * 128 : (s + 1) * 128] = slab_scr[:, s // 8, s % 8, :]
+        t = tstage_scr[:].astype(jnp.int32)
+    else:
+        t = targets_ref[0].astype(jnp.int32)
     bits = [(t >> k) & 1 != 0 for k in range(5)]
 
     def plane_body(c, _):
@@ -633,6 +696,104 @@ def sw_scores_pallas_grouped(
         q_lens.astype(jnp.int32),
         m32_flat,
         targets.astype(jnp.int8),
+        lens3,
+    )
+    return out[:, :, 0]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_pad", "mode", "gap_open", "gap_extend", "shift_impl", "unroll",
+    ),
+)
+def sw_scores_pallas_grouped_resident(
+    q_codes_all: jnp.ndarray,   # (Qm,) int32 concatenated padded queries
+    q_offsets: jnp.ndarray,     # (G,) int32
+    q_lens: jnp.ndarray,        # (G,) int32
+    db_flat: jnp.ndarray,       # (R,) uint8 — HBM-resident database codes,
+                                # padded by >= n_pad tail bytes (rows may
+                                # read past the last sequence)
+    t_starts: jnp.ndarray,      # (G, B) int32 flat BYTE offsets into
+                                # db_flat — MUST be 1024-byte aligned (the
+                                # ResidentDB slot grain); unaligned values
+                                # silently round down
+    target_lens: jnp.ndarray,   # (G, B) int32
+    matrix32: jnp.ndarray,      # (32, 32) int32
+    n_pad: int = 512,           # static target window (the length rung)
+    *,
+    mode: str = "SW",
+    gap_open: int = 10,
+    gap_extend: int = 1,
+    shift_impl: str = "roll",
+    unroll: int = 2,
+) -> jnp.ndarray:
+    """Scores (G, B) int32 against the HBM-RESIDENT database.
+
+    The host ships only (G, B) offset/length int32 arrays per launch
+    (~8 KB/group) instead of (G, B, N) target bytes (~0.5 MB/group): on
+    remote-attached runtimes measured at 0.03-1 GB/s device_put the slab
+    transfer dominates the align phase at many-query scale, while the
+    resident array uploads once per process (and stays warm across serve
+    jobs).  Target slabs are assembled in-kernel by per-row dynamic-offset
+    DMA from ``db_flat``; exactness vs the slab kernel is property-tested
+    (garbage past a row's length is masked — the same invariant as the
+    native packer's uninitialized tails).  int32 offsets bound the
+    resident array at 2 GiB - n_pad; callers segment larger databases."""
+    G, B = t_starts.shape
+    N = n_pad
+    ns = max(N // 1024, 1)  # 1024-byte slots per target window
+    m32_flat = jnp.clip(matrix32, -128, 127).astype(jnp.int32).reshape(32 * 32)
+    lens3 = target_lens.astype(jnp.int32).reshape(G, B, 1)
+    # (n_slots, 8, 128): every dynamic DMA index sits on dim 0 above full
+    # (8, 128) tiles (see the kernel's layout note)
+    db3 = db_flat.reshape(-1, 8, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),             # db slots (HBM)
+            # (G, 1, B) so the trailing block dims (1, B) satisfy Mosaic's
+            # block-shape rule (dim -2 equals the full array dim)
+            pl.BlockSpec((1, 1, B), lambda g, *_: (g, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, B, 1), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B, 1), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, ns, 8, 128), jnp.uint8),        # assembled slab
+            pltpu.VMEM((B, N), jnp.uint8),                 # layout staging
+            pltpu.SemaphoreType.DMA(()),                   # row-copy sem
+            pltpu.VMEM((26, B, N), jnp.int8),
+            pltpu.VMEM((B, N), jnp.int32),
+            pltpu.VMEM((B, N), jnp.int32),
+            pltpu.VMEM((B, N), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(
+            _sw_grouped_kernel,
+            mode=mode,
+            go=gap_open,
+            ge=gap_extend,
+            dt=jnp.int32,
+            neg=NEG,
+            shift_impl=shift_impl,
+            unroll=unroll,
+            resident=True,
+        ),
+        out_shape=jax.ShapeDtypeStruct((G, B, 1), jnp.int32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        q_codes_all.astype(jnp.int32),
+        q_offsets.astype(jnp.int32),
+        q_lens.astype(jnp.int32),
+        m32_flat,
+        db3,
+        (t_starts.astype(jnp.int32) // 1024).reshape(G, 1, B),
         lens3,
     )
     return out[:, :, 0]

@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "cache, the native engine and >= 8 host cores are all "
                    "present; the relay client's dispatch work costs about "
                    "a core while the scan runs)")
+    p.add_argument("--resident-db", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="HBM-resident database scoring: upload slot-packed "
+                   "codes once, ship only offset/length arrays per launch "
+                   "(auto: when the pallas path is active and candidate "
+                   "bytes exceed the one-time upload)")
     p.add_argument("--mh-shard", default="db", choices=["db", "queries"],
                    help="multi-host partition axis: shard the database "
                    "(merge candidates/winners; few queries x huge db) or "
@@ -223,6 +229,7 @@ def _run_one(args, query_path: str, host_ctx=None) -> None:
         timings=args.timings,
         threads=args.threads,
         overlap=args.overlap,
+        resident_db=args.resident_db,
         multihost_shard=args.mh_shard,
     )
     if host_ctx is not None:

@@ -94,6 +94,9 @@ class PipelineConfig:
     # sharding; applied BEFORE subst validation so the partition is
     # deterministic across hosts)
     query_range: Optional[tuple] = None
+    # HBM-resident database scoring: "auto" | "on" | "off"
+    # (align_database docstring; docs/PLATFORM.md "resident database")
+    resident_db: str = "auto"
     # multi-host partitioning axis: "db" (shard the database, merge
     # candidates/winners — the few-queries x huge-db mode) or "queries"
     # (each host owns a contiguous query slice end to end — the
@@ -115,6 +118,7 @@ def align_database(
     log=sys.stderr,
     metrics: Optional[PhaseMetrics] = None,
     record_range=None,
+    resident_db: str = "auto",
 ) -> List[List[AlignmentRecord]]:
     """Returns per-query alignment records, best-first (score desc,
     database index asc on ties — deterministic refinement of the
@@ -122,7 +126,16 @@ def align_database(
 
     ``record_range=(lo, hi)``: multi-host shard — streams only that record
     slice; the caller passes candidate ``indices`` already restricted to
-    the shard (ids stay global)."""
+    the shard (ids stay global).
+
+    ``resident_db``: "auto" | "on" | "off" — HBM-resident scoring (upload
+    the slot-packed database codes once; launches ship offset/length
+    arrays instead of target bytes).  "auto" enables it when the pallas
+    grouped path is active on an accelerator, the parse cache is present,
+    the slotted array fits int32 offsets, and the candidate byte volume
+    exceeds the one-time upload (docs/PLATFORM.md: device_put through the
+    relay measured 0.03-1 GB/s, so shipping the same bytes repeatedly
+    dominates many-query align phases)."""
     print("** Aligning queries with candidate sequences **", file=log)
     aligner = BatchAligner(scorer, mode=mode, backend=backend)
 
@@ -131,6 +144,11 @@ def align_database(
 
     store = ChunkStore(start=record_range[0] if record_range else 0)
     with FastaStream(database_path, record_range=record_range) as fs:
+        resident = None
+        if resident_db != "off":
+            resident = _maybe_resident_db(fs, indices, aligner, resident_db, log)
+            aligner.resident = resident
+        cache_offsets = getattr(fs, "_offsets", None)
         more, codes0, offsets0, names0 = fs.read_part_arrays(chunk_bytes)
         store.append_part(codes0, offsets0, names0)
         while True:
@@ -153,11 +171,18 @@ def align_database(
                     continue
                 chunk_used[qi] = cand[:take]
                 remaining[qi] = cand[take:]
-                packed = store.pack_latest(chunk_used[qi])
-                if packed is not None:
-                    targets = PackedTargets(*packed)
-                else:  # defensive: indices outside the newest part
-                    targets = [store.codes(t) for t in chunk_used[qi]]
+                if resident is not None:
+                    ids = np.asarray(chunk_used[qi], dtype=np.int64)
+                    lens_q = (
+                        cache_offsets[ids + 1] - cache_offsets[ids]
+                    ).astype(np.int32)
+                    targets = resident.packed_targets(ids, lens_q)
+                else:
+                    packed = store.pack_latest(chunk_used[qi])
+                    if packed is not None:
+                        targets = PackedTargets(*packed)
+                    else:  # defensive: indices outside the newest part
+                        targets = [store.codes(t) for t in chunk_used[qi]]
                 score_items.append((query.codes, targets))
                 active.append(qi)
                 if metrics is not None:
@@ -393,6 +418,51 @@ def _run_overlapped(
     return results
 
 
+def _maybe_resident_db(fs, indices, aligner, mode_flag: str, log):
+    """Build (or fetch the cached) HBM-resident database when it pays.
+
+    Requirements (any miss -> None, slab path): the pallas grouped path on
+    a single device, the parse cache (absolute offsets + mmap codes), and
+    a slot-packed size inside int32 offsets.  Under "auto" additionally:
+    a real accelerator, and total candidate bytes exceeding the slotted
+    size (the one-time upload must beat the slab traffic it replaces)."""
+    from .align.batch import ResidentDB, get_resident_db
+    from .io.fasta import CachedFastaStream
+
+    if not isinstance(fs, CachedFastaStream):
+        return None
+    if aligner.backend != "pallas" or aligner._mesh is not None:
+        return None
+    if aligner.grouped_impl != "pallas":
+        return None
+    offsets = fs._offsets
+    if ResidentDB.slotted_size(offsets) + ResidentDB.PAD >= 2**31:
+        return None
+    if mode_flag == "auto":
+        import jax
+
+        if jax.devices()[0].platform == "cpu":
+            return None
+        cand_bytes = 0
+        for ix in indices:
+            ix = np.asarray(ix, dtype=np.int64)
+            if ix.size:
+                cand_bytes += int((offsets[ix + 1] - offsets[ix]).sum())
+        if cand_bytes <= ResidentDB.slotted_size(offsets):
+            return None
+    try:
+        rdb = get_resident_db(fs._codes, offsets)
+    except Exception as exc:  # upload failure: keep the slab path
+        print(f"* resident database unavailable ({exc}) *", file=log)
+        return None
+    print(
+        f"** Align phase uses the HBM-resident database "
+        f"({rdb.nbytes / 1e9:.2f} GB slotted) **",
+        file=log,
+    )
+    return rdb
+
+
 def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
     """Run the full pipeline; returns the list of processed queries."""
     log = cfg.log
@@ -443,6 +513,7 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
             chunk_bytes=cfg.align_chunk_bytes,
             log=log,
             metrics=metrics,
+            resident_db=cfg.resident_db,
         )
 
     finish_pipeline(cfg, queries, records, metrics)

@@ -1,0 +1,159 @@
+"""HBM-resident grouped kernel: exact equality with the slab kernel.
+
+The resident variant assembles target slabs in-kernel by per-row
+dynamic-offset DMA from a flat database codes array (pallas_sw.py
+``sw_scores_pallas_grouped_resident``).  Its correctness contract is
+bit-equality with ``sw_scores_pallas_grouped`` fed the same windows —
+including the garbage bytes past each row's length (the DP output is
+length-masked; same invariant as the native packer's uninitialized
+tails).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from sift4g_tpu.align.pallas_sw import (
+    PAD_CODE,
+    sw_scores_pallas_grouped,
+    sw_scores_pallas_grouped_resident,
+)
+from sift4g_tpu.align.xla import _extend_matrix
+from sift4g_tpu.core.scorers import create_scorer
+
+
+@pytest.mark.parametrize("mode", ["SW", "NW", "HW", "OV"])
+def test_resident_equals_slab_kernel(mode):
+    rng = np.random.default_rng(11)
+    G, B, N, mq = 2, 8, 128, 64
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    m32 = jnp.asarray(_extend_matrix(scorer.matrix))
+
+    R = 5000
+    db = rng.integers(0, 26, R).astype(np.uint8)
+    # pad to a 1024 multiple: the resident array reshapes to (slots, 8, 128)
+    db_pad = np.concatenate([db, np.zeros((-R % 1024) + 4096, np.uint8)])
+    starts = (rng.integers(0, R // 1024 + 1, (G, B)) * 1024).astype(np.int32)  # slot grain
+    lens = rng.integers(1, N + 1, (G, B)).astype(np.int32)
+    lens[0, 0] = 0  # empty-target row
+
+    # slab twin: the full N-window from the flat array (garbage tails and
+    # all) — the resident kernel must see exactly these bytes
+    tg = np.empty((G, B, N), np.int8)
+    for g in range(G):
+        for b in range(B):
+            tg[g, b, :] = db_pad[starts[g, b] : starts[g, b] + N]
+
+    q = np.full(G * mq, PAD_CODE, np.int32)
+    qo = (np.arange(G) * mq).astype(np.int32)
+    ql = rng.integers(5, mq - 2, G).astype(np.int32)
+    for g in range(G):
+        q[g * mq : g * mq + ql[g]] = rng.integers(0, 26, ql[g])
+
+    kw = dict(mode=mode, gap_open=10, gap_extend=1)
+    with pltpu.force_tpu_interpret_mode():
+        want = np.asarray(
+            sw_scores_pallas_grouped(
+                jnp.asarray(q), jnp.asarray(qo), jnp.asarray(ql),
+                jnp.asarray(tg), jnp.asarray(lens), m32, **kw
+            )
+        )
+        got = np.asarray(
+            sw_scores_pallas_grouped_resident(
+                jnp.asarray(q), jnp.asarray(qo), jnp.asarray(ql),
+                jnp.asarray(db_pad), jnp.asarray(starts), jnp.asarray(lens),
+                m32, N, **kw
+            )
+        )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_resident_matches_oracle_scores():
+    """End-to-end exactness: resident scores == NumPy DP oracle on real
+    (start, len) rows of a synthetic database (not just slab parity)."""
+    from sift4g_tpu.align.dp_numpy import score_pair
+
+    rng = np.random.default_rng(12)
+    G, B, N, mq = 1, 8, 128, 64
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    m32 = jnp.asarray(_extend_matrix(scorer.matrix))
+
+    lens_seq = rng.integers(10, N, 32).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens_seq)))
+    R = int(offsets[-1])
+    db = rng.integers(0, 26, R).astype(np.uint8)
+
+    # slot-pack (the ResidentDB layout): every sequence starts at a
+    # 1024-byte boundary — the Mosaic DMA grain for offsets and sizes
+    from sift4g_tpu.align.batch import ResidentDB
+
+    rdb = ResidentDB(db, offsets)
+    db_pad = rdb.host_slotted
+
+    sel = rng.choice(32, B, replace=False)
+    starts = rdb.slot_off[sel].astype(np.int32).reshape(1, B)
+    lens = lens_seq[sel].astype(np.int32).reshape(1, B)
+
+    qlen = 40
+    q = np.full(mq, PAD_CODE, np.int32)
+    qcodes = rng.integers(0, 26, qlen).astype(np.uint8)
+    q[:qlen] = qcodes
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            sw_scores_pallas_grouped_resident(
+                jnp.asarray(q), jnp.zeros(1, jnp.int32),
+                jnp.asarray(np.array([qlen], np.int32)),
+                jnp.asarray(db_pad), jnp.asarray(starts), jnp.asarray(lens),
+                m32, N, mode="SW", gap_open=10, gap_extend=1,
+            )
+        )[0]
+    for b in range(B):
+        t = db_pad[starts[0, b] : starts[0, b] + lens[0, b]]
+        want = score_pair(qcodes, t, scorer, "SW")
+        assert got[b] == want, (b, got[b], want)
+
+
+def test_batch_aligner_resident_path():
+    """BatchAligner with a ResidentDB ships offsets (the resident kernel)
+    and scores bit-equal to the numpy oracle backend."""
+    import sift4g_tpu.align.batch as batch_mod
+    from sift4g_tpu.align.batch import BatchAligner, ResidentDB
+
+    rng = np.random.default_rng(21)
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    lens_seq = rng.integers(10, 120, 64).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens_seq)))
+    db = rng.integers(0, 26, int(offsets[-1])).astype(np.uint8)
+    rdb = ResidentDB(db, offsets)
+
+    q = rng.integers(0, 26, 40).astype(np.uint8)
+    ids = np.arange(64, dtype=np.int64)
+    targets = rdb.packed_targets(ids, lens_seq.astype(np.int32))
+    items = [(q, targets)]
+
+    want = BatchAligner(scorer, backend="numpy").scores_many(
+        [(q, [db[offsets[i] : offsets[i + 1]] for i in range(64)])]
+    )[0]
+
+    calls = {"resident": 0}
+    import sift4g_tpu.align.pallas_sw as psw
+    orig = psw.sw_scores_pallas_grouped_resident
+
+    def spy(*a, **k):
+        calls["resident"] += 1
+        return orig(*a, **k)
+
+    psw.sw_scores_pallas_grouped_resident = spy
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            al = BatchAligner(scorer, backend="pallas", b_cap=256, resident=rdb)
+            al._mesh = None  # single-chip path (tests run an 8-dev CPU mesh)
+            got = al.scores_many(items)[0]
+    finally:
+        psw.sw_scores_pallas_grouped_resident = orig
+    np.testing.assert_array_equal(got, want)
+    assert calls["resident"] >= 1, "resident kernel was not used"
