@@ -164,8 +164,9 @@ def _sw_grouped_kernel(
     qlen_ref,     # SMEM (G,) i32 — per-group query length
     m32_ref,      # SMEM (1024,) i32
     *rest,        # non-resident: targets(1,B,N) VMEM, lens, out, 4 scratch
-                  # resident: db(HBM flat), tstart(1,B) SMEM, lens, out,
-                  #           slab(B,N) u8 + DMA sem + 4 scratch
+                  # resident: db(n_slots,8,128) HBM, tstart(1,1,B) SMEM
+                  #           slot indices, lens, out, slab(B,ns,8,128) u8 +
+                  #           tstage(B,N) u8 + DMA sem + 4 scratch
     mode: str,
     go: int,
     ge: int,
