@@ -85,14 +85,19 @@ class ResidentDB:
     array uploads once per process and is reused across serve-daemon jobs
     via :func:`get_resident_db`.
 
-    ``host_slotted`` stays in host RAM: PackedTargets built over it serve
-    every non-resident consumer (long-target fallback, traceback) with the
-    same (codes, starts, lens) contract.  int32 kernel offsets bound the
-    slotted array at 2 GiB; larger databases keep the slab path
-    (per-segment residency is the documented extension, ROADMAP.md).
+    The kernel takes int32 segment-local offsets, so the slotted buffer is
+    cut into SEGMENTS of < 2 GiB at sequence granularity; every device
+    array is a slice of the one host buffer and each launch reads from
+    exactly one segment (the bucketing keys resident groups by segment).
+
+    ``host_slotted`` stays in host RAM: PackedTargets built over it (with
+    GLOBAL int64 starts) serve every non-resident consumer (long-target
+    fallback, traceback) with the same (codes, starts, lens) contract.
     """
 
     PAD = 4096  # >= the largest DMA window of the grouped kernel
+    SEG_CAP = 2**31 - 2 * 4096  # max slotted bytes per segment (the device
+                                # slice is seg + PAD and must stay < 2 GiB)
 
     @staticmethod
     def slotted_size(offsets: np.ndarray) -> int:
@@ -102,39 +107,73 @@ class ResidentDB:
 
     def __init__(self, host_codes: np.ndarray, offsets: np.ndarray):
         import jax
-        import jax.numpy as jnp
 
         from .. import native
 
-        total = self.slotted_size(offsets)
-        if total + self.PAD >= 2**31:
-            raise ValueError("slotted database exceeds int32 offset range")
         n_seq = offsets.shape[0] - 1
+        lens = np.diff(offsets).astype(np.int64)
+        slot_bytes = np.maximum(-(-lens // SLOT), 1) * SLOT
+        if slot_bytes.size and int(slot_bytes.max()) > self.SEG_CAP:
+            raise ValueError("a single sequence exceeds the segment capacity")
+        # global slotted start per sequence + segment cuts (sequence grain)
+        cum = np.concatenate(([0], np.cumsum(slot_bytes)))
+        total = int(cum[-1])
+        seg_first = [0]
+        while seg_first[-1] < n_seq:
+            i = seg_first[-1]
+            j = int(np.searchsorted(cum, cum[i] + self.SEG_CAP, side="right")) - 1
+            seg_first.append(min(max(j, i + 1), n_seq))
+        self._seg_first = np.asarray(seg_first, dtype=np.int64)
+        self.seg_base = cum[self._seg_first]  # (n_segs+1,) byte boundaries
+        self.n_segs = len(seg_first) - 1
+        self.slot_off = cum[:n_seq]           # GLOBAL int64 slot offsets
+
         buf = np.zeros(total + self.PAD, dtype=np.uint8)
-        self.slot_off = np.zeros(max(n_seq, 1), dtype=np.int32)
         lib = native.load()
         if lib is not None and hasattr(lib, "sift4g_slot_pack"):
             import ctypes
 
-            offs = np.ascontiguousarray(offsets, dtype=np.int64)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
             codes = host_codes if host_codes.flags["C_CONTIGUOUS"] else np.ascontiguousarray(host_codes)
-            lib.sift4g_slot_pack(
-                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                n_seq,
-                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                self.slot_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            )
+            base_ptr = codes.ctypes.data
+            buf_ptr = buf.ctypes.data
+            # per-segment native packing: the int32 out offsets are
+            # segment-local, so they never overflow
+            for s in range(self.n_segs):
+                i0, i1 = int(self._seg_first[s]), int(self._seg_first[s + 1])
+                # astype always copies: the -= below must never write
+                # through to the caller's offsets array
+                offs = offsets[i0 : i1 + 1].astype(np.int64)
+                offs -= offs[0]
+                loc = np.zeros(i1 - i0, dtype=np.int32)
+                lib.sift4g_slot_pack(
+                    ctypes.cast(base_ptr + int(offsets[i0]), u8p),
+                    offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    i1 - i0,
+                    ctypes.cast(buf_ptr + int(self.seg_base[s]), u8p),
+                    loc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                )
         else:
-            pos = 0
             for i in range(n_seq):
-                ln = int(offsets[i + 1] - offsets[i])
-                self.slot_off[i] = pos
-                buf[pos : pos + ln] = host_codes[offsets[i] : offsets[i + 1]]
-                pos += max((ln + SLOT - 1) // SLOT, 1) * SLOT
+                pos = int(cum[i])
+                buf[pos : pos + int(lens[i])] = host_codes[offsets[i] : offsets[i + 1]]
         self.host_slotted = buf
         self.nbytes = total
-        self.dev = jax.device_put(buf)
+        # one device array per segment; slices share the host buffer and a
+        # segment's PAD tail is simply the head of the next segment (reads
+        # past a row's length are masked by the kernel)
+        self.dev = [
+            jax.device_put(
+                buf[int(self.seg_base[s]) : min(int(self.seg_base[s + 1]) + self.PAD, total + self.PAD)]
+            )
+            for s in range(self.n_segs)
+        ]
+
+    def seg_of_starts(self, starts: np.ndarray) -> np.ndarray:
+        """Segment index for each GLOBAL slot offset."""
+        if self.n_segs == 1:
+            return np.zeros(starts.shape[0], dtype=np.int64)
+        return np.searchsorted(self.seg_base, starts, side="right") - 1
 
     def packed_targets(self, ids: np.ndarray, lens: np.ndarray) -> PackedTargets:
         """(codes, starts, lens) over the SLOTTED host buffer for record
@@ -146,13 +185,23 @@ class ResidentDB:
 _RESIDENT_CACHE: dict = {}
 
 
+def _resident_key(host_codes: np.ndarray):
+    return (getattr(host_codes, "filename", None)
+            or getattr(getattr(host_codes, "base", None), "filename", None)
+            or id(host_codes),
+            int(host_codes.shape[0]))
+
+
+def resident_db_cached(host_codes: np.ndarray) -> bool:
+    """True when the live ResidentDB already holds this database (its
+    upload cost is sunk — serve-daemon jobs and warm repeats)."""
+    return _RESIDENT_CACHE.get("key") == _resident_key(host_codes)
+
+
 def get_resident_db(host_codes: np.ndarray, offsets: np.ndarray) -> ResidentDB:
     """One live ResidentDB at a time, keyed by (backing file, size) so
     serve-daemon jobs on the same database reuse the upload."""
-    key = (getattr(host_codes, "filename", None)
-           or getattr(getattr(host_codes, "base", None), "filename", None)
-           or id(host_codes),
-           int(host_codes.shape[0]))
+    key = _resident_key(host_codes)
     if _RESIDENT_CACHE.get("key") != key:
         _RESIDENT_CACHE.clear()
         _RESIDENT_CACHE["key"] = key
@@ -530,9 +579,10 @@ class BatchAligner:
             q_chunks.append(qa)
             q_lens.append(m)
 
-        # bucket every target by its padded length, then chunk each
-        # per-query length-bucket into groups of that bucket's batch width
-        buckets = {}   # (n_pad, B) -> list of (item_idx, chunk_idx array)
+        # bucket every target by its padded length (and, for resident-backed
+        # targets, by HBM segment — a launch reads one segment), then chunk
+        # each per-query bucket into groups of that bucket's batch width
+        buckets = {}   # (n_pad, B, seg) -> list of (item_idx, chunk_idx array)
         xla_fallback = []   # (item_idx, chunk_idx, n_pad) for very long targets
         for item_idx, (_, targets) in enumerate(items):
             if len(targets) == 0:
@@ -541,18 +591,32 @@ class BatchAligner:
                 # vectorized bucketing: rung per target, grouped with one
                 # argsort — no per-target Python
                 rungs = _length_rungs_vec(targets.lens, self.t_bucket)
-                order = np.argsort(rungs, kind="stable")
-                uniq, first = np.unique(rungs[order], return_index=True)
-                per_np = {
-                    int(uniq[u]): order[first[u] : (first[u + 1] if u + 1 < len(first) else len(order))]
-                    for u in range(len(uniq))
-                }
+                res_segs = None
+                if (
+                    self.resident is not None
+                    and self.resident.n_segs > 1
+                    and targets.codes is self.resident.host_slotted
+                ):
+                    res_segs = self.resident.seg_of_starts(targets.starts)
+                    key = rungs * self.resident.n_segs + res_segs
+                else:
+                    key = rungs
+                order = np.argsort(key, kind="stable")
+                uniq, first = np.unique(key[order], return_index=True)
+                per_np = {}
+                for u in range(len(uniq)):
+                    idxs = order[first[u] : (first[u + 1] if u + 1 < len(first) else len(order))]
+                    if res_segs is None:
+                        per_np[(int(uniq[u]), 0)] = idxs
+                    else:
+                        n_pad, seg = divmod(int(uniq[u]), self.resident.n_segs)
+                        per_np[(n_pad, seg)] = idxs
             else:
                 per_np = {}
                 for i, t in enumerate(targets):
                     n_pad = _length_rung(t.shape[0], self.t_bucket)
-                    per_np.setdefault(n_pad, []).append(i)
-            for n_pad, idxs in per_np.items():
+                    per_np.setdefault((n_pad, 0), []).append(i)
+            for (n_pad, seg), idxs in per_np.items():
                 if 26 * n_pad * 256 > 14 * 1024 * 1024:
                     # even B=256 planes would not fit VMEM
                     for pos in range(0, len(idxs), self.batch):
@@ -563,7 +627,7 @@ class BatchAligner:
                 bcap = b_for(n_pad)
                 for pos in range(0, len(idxs), bcap):
                     chunk_idx = np.asarray(idxs[pos : pos + bcap])
-                    buckets.setdefault((n_pad, bcap), []).append((item_idx, chunk_idx))
+                    buckets.setdefault((n_pad, bcap, seg), []).append((item_idx, chunk_idx))
 
         matrix32 = self._matrix32_dev()
         devs = []      # (dev_scores (G_pad, B), B, groups)
@@ -688,7 +752,7 @@ class BatchAligner:
             )
 
         launch_args = []
-        for (n_pad, B), groups in sorted(buckets.items()):
+        for (n_pad, B, seg), groups in sorted(buckets.items()):
             # grid size must divide across the mesh: each device runs
             # G_CHUNK / n_dev complete groups of the same launch
             G_CHUNK = _round_up(8 if len(groups) <= 8 * n_dev else 64, n_dev)
@@ -711,14 +775,18 @@ class BatchAligner:
                         go[gi] = local_off[item_idx]
                         gl[gi] = q_lens[item_idx]
                         ci = np.asarray(chunk_idx)
-                        ts[gi, : ci.shape[0]] = targets.starts[ci]
+                        # segment-LOCAL int32 offsets (the bucketing keyed
+                        # this launch's targets to one segment)
+                        ts[gi, : ci.shape[0]] = (
+                            targets.starts[ci] - self.resident.seg_base[seg]
+                        )
                         tl[gi, : ci.shape[0]] = targets.lens[ci]
                     qa_pad = _length_rung(max(off, 1), 512)
                     q_local = np.full(qa_pad, PAD_CODE, dtype=np.int32)
                     if local_parts:
                         q_local[:off] = np.concatenate(local_parts)
                     launch_args.append(
-                        ((q_local, go, gl, (ts, tl, n_pad), None), 0, B, part)
+                        ((q_local, go, gl, (ts, tl, n_pad, seg), None), 0, B, part)
                     )
                     continue
                 if native_lib is not None:
@@ -795,15 +863,15 @@ class BatchAligner:
         def _launch(entry):
             (q_local, go, gl, tg, tl), max_qlen, B, part = entry
             self.launches += 1
-            if tl is None:  # resident entry: tg = (t_starts, t_lens, n_pad)
+            if tl is None:  # resident entry: tg = (t_starts, t_lens, n_pad, seg)
                 from .pallas_sw import sw_scores_pallas_grouped_resident
 
-                ts_r, tl_r, n_pad_r = tg
+                ts_r, tl_r, n_pad_r, seg_r = tg
                 dev = sw_scores_pallas_grouped_resident(
                     jnp.asarray(q_local),
                     jnp.asarray(go),
                     jnp.asarray(gl),
-                    self.resident.dev,
+                    self.resident.dev[seg_r],
                     jnp.asarray(ts_r),
                     jnp.asarray(tl_r),
                     matrix32,

@@ -175,6 +175,7 @@ def _sw_grouped_kernel(
     shift_impl: str = "roll",
     unroll: int = 1,
     resident: bool = False,
+    dma_pipeline: bool = False,
 ):
     """Grid-of-groups variant: one launch scores G (query, target-batch)
     pairs.  Kernel launches cost ~30 ms each through a remote-attached
@@ -199,7 +200,11 @@ def _sw_grouped_kernel(
     uninitialized tails (pack.cpp): the DP output is length-masked, so
     garbage beyond ``len`` never reaches a valid column."""
     g = pl.program_id(0)
-    if resident:
+    if resident and dma_pipeline:
+        (db_ref, tstart_ref, tnext_ref, lens_ref, out_ref,
+         slab_scr, tstage_scr, dma_sem, planes_scr, h_scr, f_scr,
+         best_scr) = rest
+    elif resident:
         (db_ref, tstart_ref, lens_ref, out_ref,
          slab_scr, tstage_scr, dma_sem, planes_scr, h_scr, f_scr,
          best_scr) = rest
@@ -209,7 +214,46 @@ def _sw_grouped_kernel(
     B, N = h_scr.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
 
-    if resident:
+    if resident and dma_pipeline:
+        # Double-buffered assembly: group g+1's row DMAs are issued BEFORE
+        # group g's DP, so the transfers ride under the compute (grid steps
+        # run sequentially; scratch persists — same parity pattern as the
+        # long kernel's edge carries).  slab_scr is (2, B, ns, 8, 128) and
+        # dma_sem is (2,); see the non-pipelined branch for the layout
+        # rules that shape the slab and the slot-index offsets.
+        ns = slab_scr.shape[2]
+        cur = g % 2
+        nxt = (g + 1) % 2
+
+        def _issue(tref, buf):
+            def body(b, _):
+                pltpu.make_async_copy(
+                    db_ref.at[pl.ds(tref[0, 0, b], ns)],
+                    slab_scr.at[buf, b],
+                    dma_sem.at[buf],
+                ).start()
+                return 0
+
+            jax.lax.fori_loop(0, B, body, 0, unroll=False)
+
+        @pl.when(g == 0)
+        def _():
+            _issue(tstart_ref, 0)
+
+        @pl.when(g + 1 < pl.num_programs(0))
+        def _():
+            _issue(tnext_ref, nxt)
+
+        def _wait_body(b, _):
+            # descriptor only carries the byte count + semaphore; the
+            # source slice is immaterial for the wait
+            pltpu.make_async_copy(
+                db_ref.at[pl.ds(0, ns)], slab_scr.at[cur, b], dma_sem.at[cur]
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, B, _wait_body, 0, unroll=False)
+    elif resident:
         LAG = 16  # outstanding DMAs: enough to hide HBM latency, small
                   # enough to stay inside the DMA queue
         # Layout dance forced by the Mosaic DMA rules (all measured, v5e):
@@ -259,7 +303,10 @@ def _sw_grouped_kernel(
         # ("result/input offset mismatch on non-concat dimension") — a
         # store normalizes the layout.
         for s in range(N // 128):
-            tstage_scr[:, s * 128 : (s + 1) * 128] = slab_scr[:, s // 8, s % 8, :]
+            if dma_pipeline:
+                tstage_scr[:, s * 128 : (s + 1) * 128] = slab_scr[cur, :, s // 8, s % 8, :]
+            else:
+                tstage_scr[:, s * 128 : (s + 1) * 128] = slab_scr[:, s // 8, s % 8, :]
         t = tstage_scr[:].astype(jnp.int32)
     else:
         t = targets_ref[0].astype(jnp.int32)
@@ -706,6 +753,7 @@ def sw_scores_pallas_grouped(
     jax.jit,
     static_argnames=(
         "n_pad", "mode", "gap_open", "gap_extend", "shift_impl", "unroll",
+        "dma_pipeline",
     ),
 )
 def sw_scores_pallas_grouped_resident(
@@ -728,6 +776,7 @@ def sw_scores_pallas_grouped_resident(
     gap_extend: int = 1,
     shift_impl: str = "roll",
     unroll: int = 2,
+    dma_pipeline: bool = True,
 ) -> jnp.ndarray:
     """Scores (G, B) int32 against the HBM-RESIDENT database.
 
@@ -740,31 +789,63 @@ def sw_scores_pallas_grouped_resident(
     DMA from ``db_flat``; exactness vs the slab kernel is property-tested
     (garbage past a row's length is masked — the same invariant as the
     native packer's uninitialized tails).  int32 offsets bound the
-    resident array at 2 GiB - n_pad; callers segment larger databases."""
+    resident array at 2 GiB - n_pad; callers segment larger databases.
+
+    ``dma_pipeline=True`` double-buffers the slab: group g+1's row DMAs
+    are issued before group g's DP so the transfers overlap compute (the
+    single-buffer lag-window variant stays as the A/B arm)."""
     G, B = t_starts.shape
     N = n_pad
-    ns = max(N // 1024, 1)  # 1024-byte slots per target window
+    ns = -(-N // 1024)  # 1024-byte slots per target window (ceil: the
+                        # N=1536 rung needs 2 slots — floor staged only
+                        # 1024 bytes and the assembly indexed past ns)
     m32_flat = jnp.clip(matrix32, -128, 127).astype(jnp.int32).reshape(32 * 32)
     lens3 = target_lens.astype(jnp.int32).reshape(G, B, 1)
     # (n_slots, 8, 128): every dynamic DMA index sits on dim 0 above full
     # (8, 128) tiles (see the kernel's layout note)
     db3 = db_flat.reshape(-1, 8, 128)
+    tstarts3 = (t_starts.astype(jnp.int32) // 1024).reshape(G, 1, B)
+
+    # (G, 1, B) so the trailing block dims (1, B) satisfy Mosaic's
+    # block-shape rule (dim -2 equals the full array dim)
+    tstart_spec = pl.BlockSpec(
+        (1, 1, B), lambda g, *_: (g, 0, 0), memory_space=pltpu.SMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),                 # db slots (HBM)
+        tstart_spec,
+    ]
+    inputs = [db3, tstarts3]
+    if dma_pipeline:
+        # second view of the SAME starts, one group ahead (clamped at the
+        # last group, where it is never issued)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, B),
+                lambda g, *_: (jnp.minimum(g + 1, G - 1), 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        )
+        inputs.append(tstarts3)
+        slab_scratch = pltpu.VMEM((2, B, ns, 8, 128), jnp.uint8)
+        sem_scratch = pltpu.SemaphoreType.DMA((2,))
+    else:
+        slab_scratch = pltpu.VMEM((B, ns, 8, 128), jnp.uint8)
+        sem_scratch = pltpu.SemaphoreType.DMA(())
+    in_specs.append(
+        pl.BlockSpec((1, B, 1), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM)
+    )
+    inputs.append(lens3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(G,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),             # db slots (HBM)
-            # (G, 1, B) so the trailing block dims (1, B) satisfy Mosaic's
-            # block-shape rule (dim -2 equals the full array dim)
-            pl.BlockSpec((1, 1, B), lambda g, *_: (g, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, B, 1), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, B, 1), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((B, ns, 8, 128), jnp.uint8),        # assembled slab
+            slab_scratch,                                  # assembled slab
             pltpu.VMEM((B, N), jnp.uint8),                 # layout staging
-            pltpu.SemaphoreType.DMA(()),                   # row-copy sem
+            sem_scratch,                                   # row-copy sem(s)
             pltpu.VMEM((26, B, N), jnp.int8),
             pltpu.VMEM((B, N), jnp.int32),
             pltpu.VMEM((B, N), jnp.int32),
@@ -782,6 +863,7 @@ def sw_scores_pallas_grouped_resident(
             shift_impl=shift_impl,
             unroll=unroll,
             resident=True,
+            dma_pipeline=dma_pipeline,
         ),
         out_shape=jax.ShapeDtypeStruct((G, B, 1), jnp.int32),
         grid_spec=grid_spec,
@@ -793,9 +875,7 @@ def sw_scores_pallas_grouped_resident(
         q_offsets.astype(jnp.int32),
         q_lens.astype(jnp.int32),
         m32_flat,
-        db3,
-        (t_starts.astype(jnp.int32) // 1024).reshape(G, 1, B),
-        lens3,
+        *inputs,
     )
     return out[:, :, 0]
 

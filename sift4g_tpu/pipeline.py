@@ -423,7 +423,9 @@ def _maybe_resident_db(fs, indices, aligner, mode_flag: str, log):
 
     Requirements (any miss -> None, slab path): the pallas grouped path on
     a single device, the parse cache (absolute offsets + mmap codes), and
-    a slot-packed size inside int32 offsets.  Under "auto" additionally:
+    a slot-packed size inside the HBM budget (ResidentDB segments the
+    buffer internally, so int32 offsets impose no size limit).  Under
+    "auto" additionally:
     a real accelerator, and total candidate bytes exceeding the slotted
     size (the one-time upload must beat the slab traffic it replaces)."""
     from .align.batch import ResidentDB, get_resident_db
@@ -436,20 +438,28 @@ def _maybe_resident_db(fs, indices, aligner, mode_flag: str, log):
     if aligner.grouped_impl != "pallas":
         return None
     offsets = fs._offsets
-    if ResidentDB.slotted_size(offsets) + ResidentDB.PAD >= 2**31:
+    # HBM budget: the slotted segments must leave room for kernel
+    # working sets (v5e = 16 GB; larger databases keep the slab path —
+    # per-device DB sharding is the multi-chip answer)
+    if ResidentDB.slotted_size(offsets) + ResidentDB.PAD >= 12 * 2**30:
         return None
     if mode_flag == "auto":
         import jax
 
+        from .align.batch import resident_db_cached
+
         if jax.devices()[0].platform == "cpu":
             return None
-        cand_bytes = 0
-        for ix in indices:
-            ix = np.asarray(ix, dtype=np.int64)
-            if ix.size:
-                cand_bytes += int((offsets[ix + 1] - offsets[ix]).sum())
-        if cand_bytes <= ResidentDB.slotted_size(offsets):
-            return None
+        # a live upload is sunk cost (serve-daemon jobs, warm repeats):
+        # reuse it regardless of this job's candidate volume
+        if not resident_db_cached(fs._codes):
+            cand_bytes = 0
+            for ix in indices:
+                ix = np.asarray(ix, dtype=np.int64)
+                if ix.size:
+                    cand_bytes += int((offsets[ix + 1] - offsets[ix]).sum())
+            if cand_bytes <= ResidentDB.slotted_size(offsets):
+                return None
     try:
         rdb = get_resident_db(fs._codes, offsets)
     except Exception as exc:  # upload failure: keep the slab path

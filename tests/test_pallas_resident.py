@@ -25,8 +25,9 @@ from sift4g_tpu.align.xla import _extend_matrix
 from sift4g_tpu.core.scorers import create_scorer
 
 
+@pytest.mark.parametrize("dma_pipeline", [True, False])
 @pytest.mark.parametrize("mode", ["SW", "NW", "HW", "OV"])
-def test_resident_equals_slab_kernel(mode):
+def test_resident_equals_slab_kernel(mode, dma_pipeline):
     rng = np.random.default_rng(11)
     G, B, N, mq = 2, 8, 128, 64
     scorer = create_scorer("BLOSUM_62", 10, 1)
@@ -65,10 +66,48 @@ def test_resident_equals_slab_kernel(mode):
             sw_scores_pallas_grouped_resident(
                 jnp.asarray(q), jnp.asarray(qo), jnp.asarray(ql),
                 jnp.asarray(db_pad), jnp.asarray(starts), jnp.asarray(lens),
-                m32, N, **kw
+                m32, N, dma_pipeline=dma_pipeline, **kw
             )
         )
     np.testing.assert_array_equal(got, want)
+
+
+def test_resident_n1536_two_slot_window():
+    """The N=1536 rung (targets 1025..1536 aa) spans TWO 1024-byte slots:
+    regression for the floor ns=N//1024 that staged only the first slot."""
+    from sift4g_tpu.align.dp_numpy import score_pair
+    from sift4g_tpu.align.batch import ResidentDB
+
+    rng = np.random.default_rng(17)
+    B, N, mq = 8, 1536, 64
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    m32 = jnp.asarray(_extend_matrix(scorer.matrix))
+
+    lens_seq = rng.integers(1025, N + 1, B).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens_seq)))
+    db = rng.integers(0, 26, int(offsets[-1])).astype(np.uint8)
+    rdb = ResidentDB(db, offsets)
+
+    starts = rdb.slot_off.astype(np.int32).reshape(1, B)
+    lens = lens_seq.astype(np.int32).reshape(1, B)
+    qlen = 32
+    q = np.full(mq, PAD_CODE, np.int32)
+    qcodes = rng.integers(0, 26, qlen).astype(np.uint8)
+    q[:qlen] = qcodes
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            sw_scores_pallas_grouped_resident(
+                jnp.asarray(q), jnp.zeros(1, jnp.int32),
+                jnp.asarray(np.array([qlen], np.int32)),
+                jnp.asarray(rdb.host_slotted), jnp.asarray(starts),
+                jnp.asarray(lens), m32, N, mode="SW", gap_open=10,
+                gap_extend=1,
+            )
+        )[0]
+    for b in range(B):
+        t = db[offsets[b] : offsets[b + 1]]
+        assert got[b] == score_pair(qcodes, t, scorer, "SW"), b
 
 
 def test_resident_matches_oracle_scores():
@@ -157,3 +196,108 @@ def test_batch_aligner_resident_path():
         psw.sw_scores_pallas_grouped_resident = orig
     np.testing.assert_array_equal(got, want)
     assert calls["resident"] >= 1, "resident kernel was not used"
+
+
+def test_segmented_resident_db(monkeypatch):
+    """Databases beyond one segment's capacity split into < 2 GiB HBM
+    segments; launches ship segment-LOCAL offsets against the right
+    segment array and still score bit-equal to the numpy oracle."""
+    from sift4g_tpu.align.batch import BatchAligner, ResidentDB
+
+    monkeypatch.setattr(ResidentDB, "SEG_CAP", 8 * 1024)  # 8 slots/segment
+
+    rng = np.random.default_rng(33)
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    lens_seq = rng.integers(10, 120, 64).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens_seq)))
+    db = rng.integers(0, 26, int(offsets[-1])).astype(np.uint8)
+    rdb = ResidentDB(db, offsets)
+    assert rdb.n_segs == 8, rdb.n_segs
+    # layout: every sequence's bytes land at its global slot offset
+    for i in range(64):
+        got = rdb.host_slotted[rdb.slot_off[i] : rdb.slot_off[i] + lens_seq[i]]
+        np.testing.assert_array_equal(got, db[offsets[i] : offsets[i + 1]])
+    # device slices are 1024-multiples (the kernel reshapes to (-1, 8, 128))
+    for d in rdb.dev:
+        assert d.shape[0] % 1024 == 0
+
+    q = rng.integers(0, 26, 40).astype(np.uint8)
+    ids = np.arange(64, dtype=np.int64)
+    targets = rdb.packed_targets(ids, lens_seq.astype(np.int32))
+
+    want = BatchAligner(scorer, backend="numpy").scores_many(
+        [(q, [db[offsets[i] : offsets[i + 1]] for i in range(64)])]
+    )[0]
+
+    seen_segs = set()
+    import sift4g_tpu.align.pallas_sw as psw
+    orig = psw.sw_scores_pallas_grouped_resident
+
+    def spy(qc, qo, ql, db_flat, ts, tls, *a, **k):
+        # segment purity: every offset of a launch addresses bytes inside
+        # the segment array it was given
+        assert int(np.asarray(ts).max()) < db_flat.shape[0]
+        assert int(np.asarray(ts).min()) >= 0
+        seen_segs.add(id(db_flat))
+        return orig(qc, qo, ql, db_flat, ts, tls, *a, **k)
+
+    monkeypatch.setattr(psw, "sw_scores_pallas_grouped_resident", spy)
+    with pltpu.force_tpu_interpret_mode():
+        al = BatchAligner(scorer, backend="pallas", b_cap=256, resident=rdb)
+        al._mesh = None
+        got = al.scores_many([(q, targets)])[0]
+    np.testing.assert_array_equal(got, want)
+    assert len(seen_segs) == rdb.n_segs  # every segment got its own launch
+
+
+def test_pipeline_resident_outputs_match_slab(tmp_path, monkeypatch):
+    """run_pipeline with resident_db on vs off writes byte-identical
+    .SIFTprediction files (the whole align->select->predict chain consumes
+    resident-backed PackedTargets).  Homolog copies of the queries are
+    planted so alignments survive the E-value filter."""
+    import filecmp
+    import os
+
+    import sift4g_tpu.parallel.sharded as sh
+    from sift4g_tpu.pipeline import PipelineConfig, run_pipeline
+
+    # single-device path: the resident gate requires mesh-less pallas
+    monkeypatch.setattr(
+        sh, "make_mesh",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("no mesh")),
+    )
+
+    rng = np.random.default_rng(5)
+    aas = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", dtype=np.uint8)
+    qs = [rng.choice(aas, 120).tobytes() for _ in range(3)]
+    with open(tmp_path / "db.fa", "wb") as fh:
+        for i in range(300):
+            seq = rng.choice(aas, int(rng.integers(40, 300))).tobytes()
+            fh.write(b">t%d\n%s\n" % (i, seq))
+        for i, s in enumerate(qs):  # exact homologs pass the E-value filter
+            fh.write(b">h%d\n%s\n" % (i, s))
+    with open(tmp_path / "q.fa", "wb") as fh:
+        for i, s in enumerate(qs):
+            fh.write(b">q%d\n%s\n" % (i, s))
+
+    outs = {}
+    for mode in ("off", "on"):
+        out = tmp_path / f"out_{mode}"
+        os.makedirs(out)
+        cfg = PipelineConfig(
+            query_path=str(tmp_path / "q.fa"),
+            database_path=str(tmp_path / "db.fa"),
+            out_path=str(out),
+            align_backend="pallas",
+            resident_db=mode,
+            log=open(os.devnull, "w"),
+        )
+        with pltpu.force_tpu_interpret_mode():
+            run_pipeline(cfg)
+        outs[mode] = sorted(os.listdir(out))
+    assert outs["on"] == outs["off"] and len(outs["on"]) == 3
+    for name in outs["on"]:
+        assert filecmp.cmp(
+            tmp_path / "out_on" / name, tmp_path / "out_off" / name,
+            shallow=False,
+        ), name

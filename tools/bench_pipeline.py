@@ -32,6 +32,9 @@ def main():
                     choices=["host", "device"],
                     help="matrix-mode prediction path (device = bucketed "
                     "vmapped scores, the many-query missense mode)")
+    ap.add_argument("--resident-db", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="HBM-resident database scoring (A/B knob)")
     ap.add_argument("--overlap-ab", action="store_true",
                     help="cold + three warm runs A/B-ing overlap on/off in "
                     "one process (one compile pass)")
@@ -55,6 +58,7 @@ def main():
         timings=True,
         overlap=args.overlap,
         predict_backend=args.predict_backend,
+        resident_db=args.resident_db,
     )
     if args.overlap_ab:
         # one process, one compile pass: cold(on) then warm A/B runs —
