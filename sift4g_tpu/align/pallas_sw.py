@@ -776,7 +776,7 @@ def sw_scores_pallas_grouped_resident(
     gap_extend: int = 1,
     shift_impl: str = "roll",
     unroll: int = 2,
-    dma_pipeline: bool = True,
+    dma_pipeline: bool = False,
 ) -> jnp.ndarray:
     """Scores (G, B) int32 against the HBM-RESIDENT database.
 
@@ -792,8 +792,10 @@ def sw_scores_pallas_grouped_resident(
     resident array at 2 GiB - n_pad; callers segment larger databases.
 
     ``dma_pipeline=True`` double-buffers the slab: group g+1's row DMAs
-    are issued before group g's DP so the transfers overlap compute (the
-    single-buffer lag-window variant stays as the A/B arm)."""
+    are issued before group g's DP so the transfers overlap compute.
+    Measured a WASH on v5e (56.7 vs 56.8 ms at G=8 B=1024 N=512: the
+    lag-16 assembly already costs only ~2 ms over a device-fed slab), so
+    the simpler single buffer stays the default — docs/PLATFORM.md."""
     G, B = t_starts.shape
     N = n_pad
     ns = -(-N // 1024)  # 1024-byte slots per target window (ceil: the
