@@ -98,6 +98,7 @@ class ResidentDB:
     PAD = 4096  # >= the largest DMA window of the grouped kernel
     SEG_CAP = 2**31 - 2 * 4096  # max slotted bytes per segment (the device
                                 # slice is seg + PAD and must stay < 2 GiB)
+    DEV_GRAIN = 128 * 1024 * 1024  # device-array size rung (jit shape grain)
 
     @staticmethod
     def slotted_size(offsets: np.ndarray) -> int:
@@ -161,13 +162,24 @@ class ResidentDB:
         self.nbytes = total
         # one device array per segment; slices share the host buffer and a
         # segment's PAD tail is simply the head of the next segment (reads
-        # past a row's length are masked by the kernel)
-        self.dev = [
-            jax.device_put(
-                buf[int(self.seg_base[s]) : min(int(self.seg_base[s + 1]) + self.PAD, total + self.PAD)]
-            )
-            for s in range(self.n_segs)
-        ]
+        # past a row's length are masked by the kernel).  Every device
+        # array is LADDER-ROUNDED to a 128 MiB grain: each distinct byte
+        # size is a distinct jit shape, and an irregular (sequence-grain)
+        # size per segment would multiply the minutes-long Mosaic compile
+        # tax by n_segs — rounded, all full segments share one shape
+        # (<=128 MiB HBM waste per segment, zero-filled tail)
+        GRAIN = self.DEV_GRAIN
+        self.dev = []
+        for s in range(self.n_segs):
+            lo = int(self.seg_base[s])
+            hi = min(int(self.seg_base[s + 1]) + self.PAD, total + self.PAD)
+            size = -(-(hi - lo) // GRAIN) * GRAIN
+            view = buf[lo : lo + size]
+            if view.shape[0] < size:  # tail segment: zero-pad to the rung
+                view = np.concatenate(
+                    [view, np.zeros(size - view.shape[0], dtype=np.uint8)]
+                )
+            self.dev.append(jax.device_put(view))
 
     def seg_of_starts(self, starts: np.ndarray) -> np.ndarray:
         """Segment index for each GLOBAL slot offset."""

@@ -205,6 +205,7 @@ def test_segmented_resident_db(monkeypatch):
     from sift4g_tpu.align.batch import BatchAligner, ResidentDB
 
     monkeypatch.setattr(ResidentDB, "SEG_CAP", 8 * 1024)  # 8 slots/segment
+    monkeypatch.setattr(ResidentDB, "DEV_GRAIN", 16 * 1024)  # 2 rungs/seg
 
     rng = np.random.default_rng(33)
     scorer = create_scorer("BLOSUM_62", 10, 1)
@@ -220,6 +221,8 @@ def test_segmented_resident_db(monkeypatch):
     # device slices are 1024-multiples (the kernel reshapes to (-1, 8, 128))
     for d in rdb.dev:
         assert d.shape[0] % 1024 == 0
+    # ladder-rounded: segments share jit shapes (compile tax is per shape)
+    assert len({int(d.shape[0]) for d in rdb.dev}) <= 2
 
     q = rng.integers(0, 26, 40).astype(np.uint8)
     ids = np.arange(64, dtype=np.int64)
@@ -248,6 +251,45 @@ def test_segmented_resident_db(monkeypatch):
         got = al.scores_many([(q, targets)])[0]
     np.testing.assert_array_equal(got, want)
     assert len(seen_segs) == rdb.n_segs  # every segment got its own launch
+
+
+def test_auto_gate_reuses_live_upload(tmp_path, monkeypatch):
+    """_maybe_resident_db("auto"): a candidate volume below the slotted
+    size normally keeps the slab path, but a LIVE ResidentDB for the same
+    database is sunk cost (serve daemon, warm repeats) and is reused."""
+    import sift4g_tpu.align.batch as batch_mod
+    import sift4g_tpu.pipeline as P
+    from sift4g_tpu.align.batch import BatchAligner
+    from sift4g_tpu.core.scorers import create_scorer as mk
+    from sift4g_tpu.io.fasta import FastaStream
+
+    rng = np.random.default_rng(9)
+    aas = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", dtype=np.uint8)
+    with open(tmp_path / "db.fa", "wb") as fh:
+        for i in range(50):
+            fh.write(b">t%d\n%s\n" % (i, rng.choice(aas, 100).tobytes()))
+
+    # non-cpu platform so the auto gate does not bail on platform (the
+    # gate does a local `import jax; jax.devices()`)
+    class _Dev:
+        platform = "tpu"
+
+    import jax as _jax
+    monkeypatch.setattr(_jax, "devices", lambda *a: [_Dev()])
+
+    al = BatchAligner(mk("BLOSUM_62", 10, 1), backend="pallas")
+    al._mesh = None
+    import os
+    with FastaStream(str(tmp_path / "db.fa")) as fs:
+        # tiny candidate volume: gate must refuse while nothing is cached
+        batch_mod._RESIDENT_CACHE.clear()
+        got = P._maybe_resident_db(fs, [[0]], al, "auto", open(os.devnull, "w"))
+        assert got is None
+        # prime the cache (an "earlier job" uploaded this database)
+        rdb = batch_mod.get_resident_db(fs._codes, fs._offsets)
+        got = P._maybe_resident_db(fs, [[0]], al, "auto", open(os.devnull, "w"))
+        assert got is rdb
+        batch_mod._RESIDENT_CACHE.clear()
 
 
 def test_pipeline_resident_outputs_match_slab(tmp_path, monkeypatch):
