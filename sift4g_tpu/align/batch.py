@@ -196,6 +196,10 @@ class ResidentDB:
 
 _RESIDENT_CACHE: dict = {}
 
+# launch shapes already compiled in this process (jit caches per shape;
+# every NEW shape pays the remote Mosaic compile — dispatch those serially)
+_COMPILED_SHAPES: set = set()
+
 
 def _resident_key(host_codes: np.ndarray):
     return (getattr(host_codes, "filename", None)
@@ -938,12 +942,38 @@ class BatchAligner:
 
         import jax
 
+        def _shape_key(entry):
+            # the jit-cache identity of a launch: any NEW key pays a
+            # minutes-long Mosaic compile through the remote service
+            (q_local, go, gl, tg, tl), max_qlen, B, _ = entry
+            if tl is None:
+                ts_r, _tl_r, n_pad_r, seg_r = tg
+                return ("res", q_local.shape[0], go.shape[0], B, n_pad_r,
+                        int(self.resident.dev[seg_r].shape[0]),
+                        self.mode)
+            return ("grp", q_local.shape[0], go.shape[0], B, tg.shape[2],
+                    max_qlen, self.mode, self._mesh is not None)
+
         on_accelerator = jax.devices()[0].platform != "cpu"
         if len(launch_args) > 1 and on_accelerator:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=min(4, len(launch_args))) as ex:
-                devs.extend(ex.map(_launch, launch_args))
+            # Serialize FIRST-TIME shapes: concurrent fresh compiles pile
+            # onto the remote compile service, which degrades under load
+            # and can wedge outright (docs/PLATFORM.md); warm shapes only
+            # pay the dispatch RPC and overlap safely.
+            fresh, warm = [], []
+            for e in launch_args:
+                k = _shape_key(e)
+                if k in _COMPILED_SHAPES:
+                    warm.append(e)
+                else:
+                    _COMPILED_SHAPES.add(k)
+                    fresh.append(e)
+            devs.extend(_launch(e) for e in fresh)
+            if warm:
+                with ThreadPoolExecutor(max_workers=min(4, len(warm))) as ex:
+                    devs.extend(ex.map(_launch, warm))
         else:
             # serial on CPU: Mosaic interpret mode is thread-local and would
             # not reach pool threads
