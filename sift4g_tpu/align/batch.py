@@ -201,23 +201,28 @@ _RESIDENT_CACHE: dict = {}
 _COMPILED_SHAPES: set = set()
 
 
-def _resident_key(host_codes: np.ndarray):
+def _resident_key(host_codes: np.ndarray, offsets: np.ndarray):
+    # backing file + record span: a multi-host shard of the same file is
+    # a DIFFERENT resident layout (shard-local slot offsets)
     return (getattr(host_codes, "filename", None)
             or getattr(getattr(host_codes, "base", None), "filename", None)
             or id(host_codes),
-            int(host_codes.shape[0]))
+            int(host_codes.shape[0]),
+            int(offsets.shape[0]),
+            int(offsets[0]) if offsets.shape[0] else 0,
+            int(offsets[-1]) if offsets.shape[0] else 0)
 
 
-def resident_db_cached(host_codes: np.ndarray) -> bool:
-    """True when the live ResidentDB already holds this database (its
-    upload cost is sunk — serve-daemon jobs and warm repeats)."""
-    return _RESIDENT_CACHE.get("key") == _resident_key(host_codes)
+def resident_db_cached(host_codes: np.ndarray, offsets: np.ndarray) -> bool:
+    """True when the live ResidentDB already holds this database slice
+    (its upload cost is sunk — serve-daemon jobs and warm repeats)."""
+    return _RESIDENT_CACHE.get("key") == _resident_key(host_codes, offsets)
 
 
 def get_resident_db(host_codes: np.ndarray, offsets: np.ndarray) -> ResidentDB:
-    """One live ResidentDB at a time, keyed by (backing file, size) so
-    serve-daemon jobs on the same database reuse the upload."""
-    key = _resident_key(host_codes)
+    """One live ResidentDB at a time, keyed by (backing file, record
+    span) so serve-daemon jobs on the same database reuse the upload."""
+    key = _resident_key(host_codes, offsets)
     if _RESIDENT_CACHE.get("key") != key:
         _RESIDENT_CACHE.clear()
         _RESIDENT_CACHE["key"] = key

@@ -146,8 +146,11 @@ def align_database(
     with FastaStream(database_path, record_range=record_range) as fs:
         resident = None
         if resident_db != "off":
-            resident = _maybe_resident_db(fs, indices, aligner, resident_db, log)
+            resident = _maybe_resident_db(
+                fs, indices, aligner, resident_db, log, record_range
+            )
             aligner.resident = resident
+        rr_lo = record_range[0] if record_range else 0
         cache_offsets = getattr(fs, "_offsets", None)
         more, codes0, offsets0, names0 = fs.read_part_arrays(chunk_bytes)
         store.append_part(codes0, offsets0, names0)
@@ -176,7 +179,8 @@ def align_database(
                     lens_q = (
                         cache_offsets[ids + 1] - cache_offsets[ids]
                     ).astype(np.int32)
-                    targets = resident.packed_targets(ids, lens_q)
+                    # resident layout is shard-local under record_range
+                    targets = resident.packed_targets(ids - rr_lo, lens_q)
                 else:
                     packed = store.pack_latest(chunk_used[qi])
                     if packed is not None:
@@ -418,8 +422,13 @@ def _run_overlapped(
     return results
 
 
-def _maybe_resident_db(fs, indices, aligner, mode_flag: str, log):
+def _maybe_resident_db(fs, indices, aligner, mode_flag: str, log,
+                       record_range=None):
     """Build (or fetch the cached) HBM-resident database when it pays.
+
+    Under a multi-host ``record_range`` shard only THAT slice of the
+    database is slot-packed and uploaded (each host holds its own shard;
+    candidate ids stay global — the caller translates by the shard base).
 
     Requirements (any miss -> None, slab path): the pallas grouped path on
     a single device, the parse cache (absolute offsets + mmap codes), and
@@ -437,7 +446,11 @@ def _maybe_resident_db(fs, indices, aligner, mode_flag: str, log):
         return None
     if aligner.grouped_impl != "pallas":
         return None
+    rr_lo = record_range[0] if record_range else 0
     offsets = fs._offsets
+    if record_range is not None:
+        # absolute offsets of the shard's records only
+        offsets = offsets[record_range[0] : record_range[1] + 1]
     # HBM budget: the slotted segments must leave room for kernel
     # working sets (v5e = 16 GB; larger databases keep the slab path —
     # per-device DB sharding is the multi-chip answer)
@@ -452,10 +465,10 @@ def _maybe_resident_db(fs, indices, aligner, mode_flag: str, log):
             return None
         # a live upload is sunk cost (serve-daemon jobs, warm repeats):
         # reuse it regardless of this job's candidate volume
-        if not resident_db_cached(fs._codes):
+        if not resident_db_cached(fs._codes, offsets):
             cand_bytes = 0
             for ix in indices:
-                ix = np.asarray(ix, dtype=np.int64)
+                ix = np.asarray(ix, dtype=np.int64) - rr_lo  # shard-local
                 if ix.size:
                     cand_bytes += int((offsets[ix + 1] - offsets[ix]).sum())
             if cand_bytes <= ResidentDB.slotted_size(offsets):

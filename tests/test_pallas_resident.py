@@ -292,6 +292,69 @@ def test_auto_gate_reuses_live_upload(tmp_path, monkeypatch):
         batch_mod._RESIDENT_CACHE.clear()
 
 
+def test_resident_shard_record_range(tmp_path, monkeypatch):
+    """Under a multi-host record_range shard, only the shard slice is
+    slot-packed (shard-local resident layout); alignment records equal
+    the slab path's on the same shard."""
+    import os
+
+    import sift4g_tpu.align.batch as batch_mod
+    import sift4g_tpu.parallel.sharded as sh
+    from sift4g_tpu.core.evalue import create_evalue_params
+    from sift4g_tpu.core.scorers import create_scorer as mk
+    from sift4g_tpu.io.fasta import FastaStream, read_fasta
+    from sift4g_tpu.pipeline import align_database
+
+    monkeypatch.setattr(
+        sh, "make_mesh",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("no mesh")),
+    )
+    rng = np.random.default_rng(4)
+    aas = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", dtype=np.uint8)
+    qs = [rng.choice(aas, 90).tobytes() for _ in range(2)]
+    with open(tmp_path / "db.fa", "wb") as fh:
+        for i in range(120):
+            fh.write(b">t%d\n%s\n" % (i, rng.choice(aas, int(rng.integers(40, 200))).tobytes()))
+        for i, s in enumerate(qs):
+            fh.write(b">h%d\n%s\n" % (i, s))
+    with open(tmp_path / "q.fa", "wb") as fh:
+        for i, s in enumerate(qs):
+            fh.write(b">q%d\n%s\n" % (i, s))
+
+    queries = read_fasta(str(tmp_path / "q.fa"))
+    scorer = mk("BLOSUM_62", 10, 1)
+    ep = create_evalue_params(40_000, scorer)
+    lo, hi = 60, 122  # shard containing the homologs
+    # candidates: all shard records, global ids
+    indices = [np.arange(lo, hi, dtype=np.int64) for _ in queries]
+
+    uploads = {}
+    orig_init = batch_mod.ResidentDB.__init__
+
+    def spy_init(self, codes, offsets):
+        uploads["n_records"] = offsets.shape[0] - 1
+        orig_init(self, codes, offsets)
+
+    monkeypatch.setattr(batch_mod.ResidentDB, "__init__", spy_init)
+
+    recs = {}
+    for mode in ("off", "on"):
+        batch_mod._RESIDENT_CACHE.clear()
+        with pltpu.force_tpu_interpret_mode():
+            recs[mode] = align_database(
+                str(tmp_path / "db.fa"), queries,
+                [ix.copy() for ix in indices], scorer, ep, 1e4, 400,
+                backend="pallas", record_range=(lo, hi),
+                resident_db=mode, log=open(os.devnull, "w"),
+            )
+    batch_mod._RESIDENT_CACHE.clear()
+    assert uploads["n_records"] == hi - lo  # shard slice only
+    for a, b in zip(recs["on"], recs["off"]):
+        assert [(r.target_idx, r.score, r.target_name) for r in a] == \
+               [(r.target_idx, r.score, r.target_name) for r in b]
+        assert len(a) > 0
+
+
 def test_pipeline_resident_outputs_match_slab(tmp_path, monkeypatch):
     """run_pipeline with resident_db on vs off writes byte-identical
     .SIFTprediction files (the whole align->select->predict chain consumes
