@@ -96,9 +96,12 @@ class ResidentDB:
     """
 
     PAD = 4096  # >= the largest DMA window of the grouped kernel
-    SEG_CAP = 2**31 - 2 * 4096  # max slotted bytes per segment (the device
-                                # slice is seg + PAD and must stay < 2 GiB)
     DEV_GRAIN = 128 * 1024 * 1024  # device-array size rung (jit shape grain)
+    # max slotted bytes per segment: the grain-ROUNDED device slice
+    # (seg + PAD) must stay strictly below 2 GiB — int32 byte addressing
+    # in the runtime/Mosaic overflows at exactly 2**31, so full segments
+    # land on 15 grains (1.875 GiB), never 16 (2 GiB)
+    SEG_CAP = 15 * DEV_GRAIN - PAD
 
     @staticmethod
     def slotted_size(offsets: np.ndarray) -> int:
@@ -225,8 +228,11 @@ def get_resident_db(host_codes: np.ndarray, offsets: np.ndarray) -> ResidentDB:
     key = _resident_key(host_codes, offsets)
     if _RESIDENT_CACHE.get("key") != key:
         _RESIDENT_CACHE.clear()
+        db = ResidentDB(host_codes, offsets)  # key set only on success: a
+        # failed build must not poison the cache (resident_db_cached would
+        # report a live upload forever)
         _RESIDENT_CACHE["key"] = key
-        _RESIDENT_CACHE["db"] = ResidentDB(host_codes, offsets)
+        _RESIDENT_CACHE["db"] = db
     return _RESIDENT_CACHE["db"]
 
 
@@ -949,15 +955,18 @@ class BatchAligner:
 
         def _shape_key(entry):
             # the jit-cache identity of a launch: any NEW key pays a
-            # minutes-long Mosaic compile through the remote service
+            # minutes-long Mosaic compile through the remote service.
+            # Every jit-STATIC argument belongs here — mode/gaps/max_sub
+            # vary across serve-daemon jobs with the same array shapes
             (q_local, go, gl, tg, tl), max_qlen, B, _ = entry
+            stat = (self.mode, self.scorer.gap_open, self.scorer.gap_extend)
             if tl is None:
                 ts_r, _tl_r, n_pad_r, seg_r = tg
                 return ("res", q_local.shape[0], go.shape[0], B, n_pad_r,
-                        int(self.resident.dev[seg_r].shape[0]),
-                        self.mode)
+                        int(self.resident.dev[seg_r].shape[0])) + stat
             return ("grp", q_local.shape[0], go.shape[0], B, tg.shape[2],
-                    max_qlen, self.mode, self._mesh is not None)
+                    max_qlen, int(self.scorer.matrix.max()),
+                    self.grouped_impl, self._mesh is not None) + stat
 
         on_accelerator = jax.devices()[0].platform != "cpu"
         if len(launch_args) > 1 and on_accelerator:
@@ -967,15 +976,19 @@ class BatchAligner:
             # onto the remote compile service, which degrades under load
             # and can wedge outright (docs/PLATFORM.md); warm shapes only
             # pay the dispatch RPC and overlap safely.
-            fresh, warm = [], []
+            fresh, warm, fresh_keys = [], [], set()
             for e in launch_args:
                 k = _shape_key(e)
-                if k in _COMPILED_SHAPES:
+                if k in _COMPILED_SHAPES or k in fresh_keys:
                     warm.append(e)
                 else:
-                    _COMPILED_SHAPES.add(k)
+                    fresh_keys.add(k)
                     fresh.append(e)
-            devs.extend(_launch(e) for e in fresh)
+            for e in fresh:
+                devs.append(_launch(e))
+                # marked compiled only AFTER the dispatch returned — a
+                # raised launch must not classify its shape as warm
+                _COMPILED_SHAPES.add(_shape_key(e))
             if warm:
                 with ThreadPoolExecutor(max_workers=min(4, len(warm))) as ex:
                     devs.extend(ex.map(_launch, warm))

@@ -451,10 +451,12 @@ def _maybe_resident_db(fs, indices, aligner, mode_flag: str, log,
     if record_range is not None:
         # absolute offsets of the shard's records only
         offsets = offsets[record_range[0] : record_range[1] + 1]
-    # HBM budget: the slotted segments must leave room for kernel
+    # HBM budget: the GRAIN-ROUNDED segments must leave room for kernel
     # working sets (v5e = 16 GB; larger databases keep the slab path —
     # per-device DB sharding is the multi-chip answer)
-    if ResidentDB.slotted_size(offsets) + ResidentDB.PAD >= 12 * 2**30:
+    slotted = ResidentDB.slotted_size(offsets)
+    n_segs_est = max(-(-slotted // ResidentDB.SEG_CAP), 1)
+    if slotted + n_segs_est * ResidentDB.DEV_GRAIN >= 12 * 2**30:
         return None
     if mode_flag == "auto":
         import jax
@@ -471,7 +473,7 @@ def _maybe_resident_db(fs, indices, aligner, mode_flag: str, log,
                 ix = np.asarray(ix, dtype=np.int64) - rr_lo  # shard-local
                 if ix.size:
                     cand_bytes += int((offsets[ix + 1] - offsets[ix]).sum())
-            if cand_bytes <= ResidentDB.slotted_size(offsets):
+            if cand_bytes <= slotted:
                 return None
     try:
         rdb = get_resident_db(fs._codes, offsets)
