@@ -253,6 +253,53 @@ def test_segmented_resident_db(monkeypatch):
     assert len(seen_segs) == rdb.n_segs  # every segment got its own launch
 
 
+def test_fresh_shapes_dispatch_serially(monkeypatch):
+    """First-time launch shapes compile serially on the main thread (one
+    remote Mosaic compile in flight — docs/PLATFORM.md wedge); repeats of
+    a seen shape go through the overlapping pool."""
+    import threading
+
+    import sift4g_tpu.align.batch as batch_mod
+    import sift4g_tpu.align.xla as xla_mod
+    from sift4g_tpu.align.batch import BatchAligner
+
+    class _Dev:
+        platform = "tpu"
+
+    import jax as _jax
+    monkeypatch.setattr(_jax, "devices", lambda *a: [_Dev()])
+    batch_mod._COMPILED_SHAPES.clear()
+
+    calls = []
+    orig = xla_mod.align_scores_grouped_kernel
+
+    def spy(*a, **k):
+        calls.append(threading.current_thread() is threading.main_thread())
+        return orig(*a, **k)
+
+    monkeypatch.setattr(xla_mod, "align_scores_grouped_kernel", spy)
+
+    rng = np.random.default_rng(2)
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    q = rng.integers(0, 26, 40).astype(np.uint8)
+    # one rung x 1200 targets at b_cap=8 => 150 groups => 3 launches of
+    # the same G_CHUNK=64 shape (fresh + 2 warm repeats)
+    targets = [rng.integers(0, 26, int(n)).astype(np.uint8)
+               for n in rng.integers(20, 120, 1200)]
+    al = BatchAligner(scorer, backend="pallas", b_cap=8)
+    al._mesh = None
+    al.grouped_impl = "xla"
+    got = al.scores_many([(q, targets)])[0]
+
+    from sift4g_tpu.align.dp_numpy import score_pair
+    for i in (0, 17, 1199):
+        assert got[i] == score_pair(q, targets[i], scorer, "SW")
+    assert len(calls) >= 3
+    assert calls[0] is True, "first (fresh) launch must run on main thread"
+    assert not all(calls[1:]), "repeat shapes should use the pool"
+    batch_mod._COMPILED_SHAPES.clear()
+
+
 def test_auto_gate_reuses_live_upload(tmp_path, monkeypatch):
     """_maybe_resident_db("auto"): a candidate volume below the slotted
     size normally keeps the slab path, but a LIVE ResidentDB for the same
