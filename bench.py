@@ -154,6 +154,45 @@ def bench_native_cpu(n_targets=4096, n=512, m=360):
     return m * n * n_targets / dt / 1e9
 
 
+def _discover_tpu(jax, probe_port=8082, join_timeout=120):
+    """True/False = device platform discovered; None = relay unusable.
+
+    jax.devices() blocks in C (grpc connect/retry) when the axon tunnel
+    is half-up, so a SIGALRM deadline cannot interrupt it — probe the
+    tunnel socket first, then discover on a daemon thread with a join
+    timeout (docs/PLATFORM.md "Compile-service wedge + tunnel collapse")."""
+    import socket
+    import threading
+
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "axon"):
+        return jax.devices()[0].platform != "cpu"
+    s = socket.socket()
+    s.settimeout(3)
+    try:
+        s.connect(("127.0.0.1", probe_port))
+    except OSError as exc:
+        print(f"relay probe failed ({exc}); native CPU DP", file=sys.stderr)
+        return None
+    finally:
+        s.close()
+    result = {}
+
+    def _discover():
+        try:
+            result["on_tpu"] = jax.devices()[0].platform != "cpu"
+        except Exception as exc:  # discovery raised: report, don't hang
+            result["err"] = exc
+
+    t = threading.Thread(target=_discover, daemon=True)
+    t.start()
+    t.join(join_timeout)
+    if "on_tpu" in result:
+        return result["on_tpu"]
+    reason = result.get("err", f"no devices after {join_timeout}s")
+    print(f"device discovery failed ({reason}); native CPU DP", file=sys.stderr)
+    return None
+
+
 # Measured roofline: the exact SW row recurrence with a runtime row count
 # and no launch/planes/scalar overhead sustains this marginal rate on v5e
 # (tools/bench_ab.py dprow, 2026-08-17; docs/PLATFORM.md "Roofline").
@@ -172,7 +211,24 @@ def main():
         print(f"native baseline failed ({exc}); using last measured", file=sys.stderr)
         baseline = FALLBACK_BASELINE_GCUPS
 
-    on_tpu = jax.devices()[0].platform != "cpu"
+    # device discovery itself can hang when the relay tunnel is down
+    # (observed 2026-08-18: connection-refused ports + a runtime that
+    # blocks INSIDE a C call, so SIGALRM never fires) — socket-probe the
+    # tunnel, then run discovery on a daemon thread with a join timeout,
+    # and fall back to the CPU number rather than hanging the driver's
+    # bench window
+    on_tpu = _discover_tpu(jax)
+    if on_tpu is None:
+        print(json.dumps({
+            "metric": "sw_score_gcups[native-cpu]",
+            "value": round(baseline, 3),
+            "unit": "GCUPS",
+            "vs_baseline": 1.0,
+            "baseline_gcups": round(baseline, 3),
+        }))
+        sys.stdout.flush()
+        # a wedged PJRT init thread would block normal exit
+        os._exit(0)
     if on_tpu:
         try:
             gcups = _with_deadline(1200, bench_grouped_pallas)
