@@ -54,6 +54,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         lib.sift4g_search_collect_scored.argtypes = [
             ctypes.c_void_p, c_i64_p, ctypes.POINTER(ctypes.c_float),
         ]
+    if hasattr(lib, "sift4g_search_stats"):  # stale .so tolerance
+        lib.sift4g_search_stats.restype = None
+        lib.sift4g_search_stats.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+        ]
 
     lib.sift4g_fasta_open.restype = ctypes.c_void_p
     lib.sift4g_fasta_open.argtypes = [ctypes.c_char_p]

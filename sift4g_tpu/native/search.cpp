@@ -48,16 +48,35 @@ struct SearchCtx {
   // keeps the backing arrays alive for the context's lifetime
   // (prefilter/search.py _search_database_native holds the QueryKmerHash)
   const int32_t* starts;
-  const int32_t* hit_query;
-  const int32_t* hit_pos;
   // presence bitmap over the k-mer table: ~3.4 MB at k=5 (vs the 108 MB
   // offsets table), so the all-but-miss case of the scan stays in cache —
   // only ~|query k-mers| of the 27M table entries are nonempty
   std::vector<uint64_t> present;
+  // hits interleaved as (query, pos) pairs: one cache line per hit instead
+  // of two (the reference's Hit layout, hash.hpp:19-29)
+  struct Hit {
+    int32_t q;
+    int32_t pos;
+  };
+  std::vector<Hit> hits;
   // accumulated per-query candidates (sorted desc, <= max_candidates)
   std::vector<std::vector<Candidate>> cands;
   std::vector<float> floors;
+  // per query: global list reached max_candidates — from then on floors[q]
+  // is the global k-th best, and any candidate with score <= floor is
+  // provably outranked by >= maxc retained entries under the (score desc,
+  // id asc) total order (chunk ids ascend), so threads can gate admission
+  // on it even while their LOCAL per-chunk lists are still empty.  This
+  // stops the unconditional first-maxc-per-thread admission flood from
+  // chunk 2 onward (a superset-pruning refinement of quirk Q3; the merged
+  // top-k is unchanged).
+  std::vector<uint8_t> full;
   int n_threads;
+  // accumulated phase stats across chunks (max over threads per chunk for
+  // the cycle counters — threads run concurrently, so the wall-clock cost
+  // of a phase is its slowest thread): pack, gather, score cycles, then
+  // n_lis, n_lis_hits, n_scored summed
+  uint64_t stats[6] = {0, 0, 0, 0, 0, 0};
 };
 
 // Patience LIS length, strictly increasing (database_search.cpp:255-280).
@@ -90,15 +109,32 @@ struct ThreadState {
   std::vector<int32_t> tails;                  // LIS scratch
   std::vector<uint32_t> kmers;                 // k-mer scratch
   uint64_t cells = 0;
+  // per-phase cycle counters (sift4g_search_stats; ~4 rdtsc per sequence,
+  // negligible next to the scan itself)
+  uint64_t cyc_pack = 0;    // rolling k-mer pack + dedup
+  uint64_t cyc_gather = 0;  // bitmap probe + per-query hit gather
+  uint64_t cyc_score = 0;   // LIS + admission + truncation
+  uint64_t n_lis = 0;       // LIS invocations (not skipped by pre-check)
+  uint64_t n_lis_hits = 0;  // total hit-list elements fed to LIS
+  uint64_t n_scored = 0;    // (seq, query) pairs reaching the scoring loop
 };
+
+inline uint64_t now_cycles() {
+#if defined(__x86_64__)
+  unsigned lo, hi;
+  __asm__ __volatile__("rdtsc" : "=a"(lo), "=d"(hi));
+  return (static_cast<uint64_t>(hi) << 32) | lo;
+#else
+  return 0;
+#endif
+}
 
 void scan_range(const SearchCtx* ctx, const uint8_t* codes,
                 const int64_t* offsets, int64_t lo, int64_t hi,
                 int64_t start_index, ThreadState* st) {
   const int k = ctx->k;
   const int32_t* starts = ctx->starts;
-  const int32_t* hit_query = ctx->hit_query;
-  const int32_t* hit_pos = ctx->hit_pos;
+  const uint8_t* gfull = ctx->full.data();
   const int maxc = ctx->max_candidates;
 
   for (int64_t si = lo; si < hi; ++si) {
@@ -106,6 +142,7 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
     const int64_t n = offsets[si + 1] - offsets[si];
     st->cells += static_cast<uint64_t>(n);
     if (n < k) continue;
+    uint64_t t0 = now_cycles();
 
     // rolling 5-bit pack + adjacent-dup skip
     st->kmers.clear();
@@ -122,75 +159,127 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
     // the previous *emitted* k-mer, which for a rolling window is the same
     // as the previous raw k-mer (dup run collapses to one).
 
+    uint64_t t1 = now_cycles();
+    st->cyc_pack += t1 - t0;
+
     // gather hits per query in db k-mer scan order.  The presence bitmap
-    // screens ~99.9% of k-mers without touching the 108 MB offsets table.
+    // screens k-mers without touching the 108 MB offsets table; on
+    // homolog-dense databases a large fraction of k-mers ARE present, so
+    // the probe -> starts -> hits dependent-miss chain is staged in blocks
+    // with prefetching between stages (each stage's loads issue before the
+    // next stage consumes them).
     st->touched.clear();
     const uint64_t* present = ctx->present.data();
-    // the bitmap probe is a random access into a multi-MB table (one LLC
-    // round trip per k-mer dominates the scan: ~13 cycles/residue); the
-    // k-mer list is already materialized, so prefetch a fixed distance
-    // ahead to overlap the misses
+    const SearchCtx::Hit* hits_il = ctx->hits.data();
     const size_t nk = st->kmers.size();
     const size_t kPrefetchDist = 16;
-    for (size_t ki = 0; ki < nk; ++ki) {
-      if (ki + kPrefetchDist < nk)
-        __builtin_prefetch(&present[st->kmers[ki + kPrefetchDist] >> 6], 0, 1);
-      const uint32_t kv = st->kmers[ki];
-      if (!((present[kv >> 6] >> (kv & 63)) & 1)) continue;
-      int64_t s = starts[kv], e = starts[kv + 1];
-      for (int64_t h = s; h < e; ++h) {
-        int32_t q = hit_query[h];
-        if (st->qpos[q].empty()) st->touched.push_back(q);
-        st->qpos[q].push_back(hit_pos[h]);
+    constexpr size_t kBlock = 64;
+    uint32_t live[kBlock];
+    for (size_t b0 = 0; b0 < nk; b0 += kBlock) {
+      const size_t b1 = std::min(nk, b0 + kBlock);
+      // stage 1: probe the bitmap (prefetched ahead), collect present
+      // k-mers, and issue their starts[] loads
+      size_t nlive = 0;
+      for (size_t ki = b0; ki < b1; ++ki) {
+        if (ki + kPrefetchDist < nk)
+          __builtin_prefetch(&present[st->kmers[ki + kPrefetchDist] >> 6], 0, 1);
+        const uint32_t kv = st->kmers[ki];
+        if ((present[kv >> 6] >> (kv & 63)) & 1) {
+          __builtin_prefetch(&starts[kv], 0, 1);
+          live[nlive++] = kv;
+        }
+      }
+      // stage 2: read starts ranges, issue the hit-pair loads
+      for (size_t li = 0; li < nlive; ++li) {
+        if (li + 4 < nlive) {
+          const uint32_t kn = live[li + 4];
+          __builtin_prefetch(&hits_il[starts[kn]], 0, 1);
+        }
+        const uint32_t kv = live[li];
+        const int64_t s = starts[kv], e = starts[kv + 1];
+        for (int64_t h = s; h < e; ++h) {
+          const int32_t q = hits_il[h].q;
+          if (st->qpos[q].empty()) st->touched.push_back(q);
+          st->qpos[q].push_back(hits_il[h].pos);
+        }
       }
     }
 
+    uint64_t t2 = now_cycles();
+    st->cyc_gather += t2 - t1;
+
     const float len_f = static_cast<float>(n);
+    // measured at missense scale (2000q x 5M): the mean hit-list length is
+    // ~1.1 — almost every (seq, query) pair shares exactly one k-mer, so
+    // its LIS is known without running the patience loop.  h <= 2 paths
+    // compute the score directly under the SAME float division the general
+    // path uses (static_cast<float>(1) == 1.0f), keeping candidate sets
+    // bit-identical.
+    const float score1 = 1.0f / len_f;
     const int64_t db_index = start_index + si;
+    st->n_scored += st->touched.size();
     for (int32_t q : st->touched) {
       auto& lst = st->cands[q];
       float& floor = st->floors[q];
-      // exact LIS skip: lis <= n_hits, so when the list is full and even
-      // n_hits/len cannot beat the admission floor the candidate cannot
-      // be admitted — identical candidate sets, no O(h log h) work.  At
-      // many-query scale (the human-missense mode) this removes the
-      // dominant cost once floors rise.
-      int min_needed = 0;
-      if (static_cast<int>(lst.size()) >= maxc) {
-        if (static_cast<float>(st->qpos[q].size()) / len_f <= floor) {
-          st->qpos[q].clear();
-          continue;
+      auto& hits = st->qpos[q];
+      const size_t h = hits.size();
+      const bool full =
+          static_cast<int>(lst.size()) >= maxc || gfull[q] != 0;
+      float score;
+      if (h == 1) {
+        hits.clear();
+        if (full && score1 <= floor) continue;
+        score = score1;
+      } else if (h == 2) {
+        const int lis = 1 + (hits[1] > hits[0] ? 1 : 0);
+        hits.clear();
+        score = static_cast<float>(lis) / len_f;
+        if (full && score <= floor) continue;
+      } else {
+        // exact LIS skip: lis <= n_hits, so when the list is full and even
+        // n_hits/len cannot beat the admission floor the candidate cannot
+        // be admitted — identical candidate sets, no O(h log h) work.  At
+        // many-query scale (the human-missense mode) this removes the
+        // dominant cost once floors rise.
+        int min_needed = 0;
+        if (full) {
+          if (static_cast<float>(h) / len_f <= floor) {
+            hits.clear();
+            continue;
+          }
+          // smallest integer L with (float)L/len > floor — admission needs
+          // LIS >= L, so the LIS can abort once it provably falls short.
+          // Derived under the same float division the score uses (the +-1
+          // scan absorbs rounding at the boundary).
+          int L = static_cast<int>(floor * len_f);
+          while (L > 0 && static_cast<float>(L - 1) / len_f > floor) --L;
+          while (static_cast<float>(L) / len_f <= floor) ++L;
+          min_needed = L;
         }
-        // smallest integer L with (float)L/len > floor — admission needs
-        // LIS >= L, so the LIS can abort once it provably falls short.
-        // Derived under the same float division the score uses (the +-1
-        // scan absorbs rounding at the boundary).
-        int L = static_cast<int>(floor * len_f);
-        while (L > 0 && static_cast<float>(L - 1) / len_f > floor) --L;
-        while (static_cast<float>(L) / len_f <= floor) ++L;
-        min_needed = L;
+        st->n_lis += 1;
+        st->n_lis_hits += h;
+        score = static_cast<float>(lis_length(hits, st->tails, min_needed)) / len_f;
+        hits.clear();
+        if (full && score <= floor) continue;
       }
-      const float score =
-          static_cast<float>(lis_length(st->qpos[q], st->tails, min_needed)) / len_f;
-      st->qpos[q].clear();
-      if (static_cast<int>(lst.size()) < maxc || score > floor) {
-        lst.push_back({score, db_index});
-        if (score < floor) floor = score;
-        // periodic local truncation: sort by (score desc, id asc), keep
-        // max_candidates, raise the floor to the local k-th best.  Exact:
-        // within a thread ids ascend, so any later candidate with
-        // score <= floor is outranked by >= maxc retained entries under
-        // the total order and cannot reach the merged top-k.  This bounds
-        // list memory (chunk-1 floors start at the sentinel, so unbounded
-        // admission would otherwise grow lists ~linearly in hit volume)
-        // and makes the LIS skip fire within the first chunk.
-        if (static_cast<int>(lst.size()) >= 2 * maxc) {
-          std::sort(lst.begin(), lst.end(), cand_less);
-          lst.resize(maxc);
-          floor = lst.back().score;
-        }
+      lst.push_back({score, db_index});
+      if (score < floor) floor = score;
+      // periodic local truncation: keep the top max_candidates by
+      // (score desc, id asc) via O(n) nth_element, raise the floor to the
+      // local k-th best.  Exact: within a thread ids ascend, so any later
+      // candidate with score <= floor is outranked by >= maxc retained
+      // entries under the total order and cannot reach the merged top-k
+      // (the retained SET equals a full sort's; order is restored by the
+      // end-of-chunk merge sort).  This bounds list memory and makes the
+      // LIS skip fire within the first chunk.
+      if (static_cast<int>(lst.size()) >= 2 * maxc) {
+        std::nth_element(lst.begin(), lst.begin() + (maxc - 1), lst.end(),
+                         cand_less);
+        floor = lst[maxc - 1].score;
+        lst.resize(maxc);
       }
     }
+    st->cyc_score += now_cycles() - t2;
   }
 }
 
@@ -202,21 +291,22 @@ void* sift4g_search_create(int n_queries, int max_candidates, int kmer_len,
                            const int32_t* starts, int64_t n_starts,
                            const int32_t* hit_query, const int32_t* hit_pos,
                            int64_t n_hits, int n_threads) {
-  (void)n_hits;
   auto* ctx = new SearchCtx();
   ctx->n_queries = n_queries;
   ctx->max_candidates = max_candidates;
   ctx->k = kmer_len;
   ctx->starts = starts;
-  ctx->hit_query = hit_query;
-  ctx->hit_pos = hit_pos;
   const int64_t table = n_starts - 1;
   ctx->present.assign(static_cast<size_t>((table + 63) / 64), 0);
   for (int64_t kv = 0; kv < table; ++kv)
     if (starts[kv + 1] > starts[kv])
       ctx->present[kv >> 6] |= (1ull << (kv & 63));
+  ctx->hits.resize(static_cast<size_t>(n_hits));
+  for (int64_t h = 0; h < n_hits; ++h)
+    ctx->hits[h] = {hit_query[h], hit_pos[h]};
   ctx->cands.resize(n_queries);
   ctx->floors.assign(n_queries, 1e6f);  // database_search.cpp:86
+  ctx->full.assign(n_queries, 0);
   unsigned hw = std::thread::hardware_concurrency();
   ctx->n_threads = n_threads > 0 ? n_threads : (hw ? static_cast<int>(hw) : 4);
   return ctx;
@@ -257,17 +347,39 @@ uint64_t sift4g_search_chunk(void* handle, const uint8_t* codes,
   for (auto& th : threads) th.join();
 
   uint64_t cells = 0;
-  for (auto& st : states) cells += st.cells;
-  // merge + sort desc + truncate + floor update (database_search.cpp:131-154)
+  uint64_t mx[3] = {0, 0, 0};
+  for (auto& st : states) {
+    cells += st.cells;
+    mx[0] = std::max(mx[0], st.cyc_pack);
+    mx[1] = std::max(mx[1], st.cyc_gather);
+    mx[2] = std::max(mx[2], st.cyc_score);
+    ctx->stats[3] += st.n_lis;
+    ctx->stats[4] += st.n_lis_hits;
+    ctx->stats[5] += st.n_scored;
+  }
+  for (int i = 0; i < 3; ++i) ctx->stats[i] += mx[i];
+  // merge + truncate + floor update (database_search.cpp:131-154).  Only
+  // the retained SET and the k-th-best floor matter mid-stream, so an O(n)
+  // nth_element replaces the full sort (collect_scored sorts at the end);
+  // the flood gate keeps post-chunk-1 thread lists near-empty anyway.
+  const int maxc = ctx->max_candidates;
   for (int q = 0; q < ctx->n_queries; ++q) {
     auto& dst = ctx->cands[q];
     for (auto& st : states)
       dst.insert(dst.end(), st.cands[q].begin(), st.cands[q].end());
     if (dst.empty()) continue;
-    std::sort(dst.begin(), dst.end(), cand_less);
-    if (static_cast<int>(dst.size()) > ctx->max_candidates)
-      dst.resize(ctx->max_candidates);
-    ctx->floors[q] = dst.back().score;
+    if (static_cast<int>(dst.size()) > maxc) {
+      std::nth_element(dst.begin(), dst.begin() + (maxc - 1), dst.end(),
+                       cand_less);
+      dst.resize(maxc);
+      ctx->floors[q] = dst[maxc - 1].score;
+      ctx->full[q] = 1;
+    } else {
+      float lo = dst[0].score;
+      for (const auto& c : dst) lo = std::min(lo, c.score);
+      ctx->floors[q] = lo;
+      ctx->full[q] = static_cast<int>(dst.size()) >= maxc ? 1 : 0;
+    }
   }
   return cells;
 }
@@ -301,12 +413,22 @@ void sift4g_search_collect_scored(void* handle, int64_t* out_ids,
   auto* ctx = static_cast<SearchCtx*>(handle);
   int64_t w = 0;
   for (int q = 0; q < ctx->n_queries; ++q) {
+    // chunk merges keep an unordered top-k set; order is established here
+    std::sort(ctx->cands[q].begin(), ctx->cands[q].end(), cand_less);
     for (auto& c : ctx->cands[q]) {
       out_ids[w] = c.id;
       out_scores[w] = c.score;
       ++w;
     }
   }
+}
+
+// Phase breakdown for profiling: {pack_cycles, gather_cycles, score_cycles,
+// n_lis, n_lis_hits, n_scored}.  Cycle values are per-chunk maxima over
+// threads, summed over chunks (≈ wall-clock share of each phase).
+void sift4g_search_stats(void* handle, uint64_t* out6) {
+  auto* ctx = static_cast<SearchCtx*>(handle);
+  for (int i = 0; i < 6; ++i) out6[i] = ctx->stats[i];
 }
 
 void sift4g_search_destroy(void* handle) {

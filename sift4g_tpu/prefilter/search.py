@@ -128,8 +128,9 @@ def _search_database_native(
     ``on_chunk(codes, offsets, names, start_index, snapshot)`` is invoked
     after each chunk is admitted; ``snapshot()`` returns the engine's
     CURRENT per-query candidate id arrays (safe mid-stream: the candidate
-    lists are sorted + truncated at every chunk boundary).  The pipeline
-    uses this to overlap device scoring with the next chunk's host scan."""
+    lists are truncated to the exact top-k SET at every chunk boundary;
+    ordering is established only at final collect).  The pipeline uses
+    this to overlap device scoring with the next chunk's host scan."""
     import ctypes
 
     from ..io.fasta import FastaStream
@@ -212,6 +213,24 @@ def _search_database_native(
                 flat[bounds[i] : bounds[i + 1]].copy() for i in range(len(queries))
             ]
     finally:
+        import os as _os
+
+        if _os.environ.get("SIFT4G_TPU_SEARCH_STATS") and hasattr(
+            lib, "sift4g_search_stats"
+        ):
+            st = np.empty(6, dtype=np.uint64)
+            lib.sift4g_search_stats(
+                ctx, st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+            )
+            pack, gather, score, n_lis, n_hits, n_scored = (int(x) for x in st)
+            tot = max(pack + gather + score, 1)
+            print(
+                f"[search-stats] cycles pack={pack:.3g} ({100*pack/tot:.0f}%) "
+                f"gather={gather:.3g} ({100*gather/tot:.0f}%) "
+                f"score={score:.3g} ({100*score/tot:.0f}%)  "
+                f"n_scored={n_scored} n_lis={n_lis} lis_hits={n_hits}",
+                file=sys.stderr,
+            )
         lib.sift4g_search_destroy(ctx)
     if return_scored:
         return indices, int(total_cells), scored
