@@ -76,7 +76,7 @@ struct SearchCtx {
   // the cycle counters — threads run concurrently, so the wall-clock cost
   // of a phase is its slowest thread): pack, gather, score cycles, then
   // n_lis, n_lis_hits, n_scored summed
-  uint64_t stats[6] = {0, 0, 0, 0, 0, 0};
+  uint64_t stats[8] = {0, 0, 0, 0, 0, 0, 0, 0};
 };
 
 // Patience LIS length, strictly increasing (database_search.cpp:255-280).
@@ -317,6 +317,7 @@ uint64_t sift4g_search_chunk(void* handle, const uint8_t* codes,
                              const int64_t* offsets, int64_t n_seq,
                              int64_t start_index) {
   auto* ctx = static_cast<SearchCtx*>(handle);
+  const uint64_t tw0 = now_cycles();
   int nt = std::min<int64_t>(ctx->n_threads, std::max<int64_t>(1, n_seq));
   std::vector<ThreadState> states(nt);
   for (auto& st : states) {
@@ -345,6 +346,7 @@ uint64_t sift4g_search_chunk(void* handle, const uint8_t* codes,
     lo = hi;
   }
   for (auto& th : threads) th.join();
+  const uint64_t tw1 = now_cycles();
 
   uint64_t cells = 0;
   uint64_t mx[3] = {0, 0, 0};
@@ -358,29 +360,47 @@ uint64_t sift4g_search_chunk(void* handle, const uint8_t* codes,
     ctx->stats[5] += st.n_scored;
   }
   for (int i = 0; i < 3; ++i) ctx->stats[i] += mx[i];
+  ctx->stats[6] += tw1 - tw0;
   // merge + truncate + floor update (database_search.cpp:131-154).  Only
   // the retained SET and the k-th-best floor matter mid-stream, so an O(n)
   // nth_element replaces the full sort (collect_scored sorts at the end);
   // the flood gate keeps post-chunk-1 thread lists near-empty anyway.
+  // Queries are independent — fan the merge out over the same threads.
   const int maxc = ctx->max_candidates;
-  for (int q = 0; q < ctx->n_queries; ++q) {
-    auto& dst = ctx->cands[q];
-    for (auto& st : states)
-      dst.insert(dst.end(), st.cands[q].begin(), st.cands[q].end());
-    if (dst.empty()) continue;
-    if (static_cast<int>(dst.size()) > maxc) {
-      std::nth_element(dst.begin(), dst.begin() + (maxc - 1), dst.end(),
-                       cand_less);
-      dst.resize(maxc);
-      ctx->floors[q] = dst[maxc - 1].score;
-      ctx->full[q] = 1;
-    } else {
-      float lo = dst[0].score;
-      for (const auto& c : dst) lo = std::min(lo, c.score);
-      ctx->floors[q] = lo;
-      ctx->full[q] = static_cast<int>(dst.size()) >= maxc ? 1 : 0;
+  auto merge_range = [&](int q0, int q1) {
+    for (int q = q0; q < q1; ++q) {
+      auto& dst = ctx->cands[q];
+      for (auto& st : states)
+        dst.insert(dst.end(), st.cands[q].begin(), st.cands[q].end());
+      if (dst.empty()) continue;
+      if (static_cast<int>(dst.size()) > maxc) {
+        std::nth_element(dst.begin(), dst.begin() + (maxc - 1), dst.end(),
+                         cand_less);
+        dst.resize(maxc);
+        ctx->floors[q] = dst[maxc - 1].score;
+        ctx->full[q] = 1;
+      } else {
+        float lo = dst[0].score;
+        for (const auto& c : dst) lo = std::min(lo, c.score);
+        ctx->floors[q] = lo;
+        ctx->full[q] = static_cast<int>(dst.size()) >= maxc ? 1 : 0;
+      }
     }
+  };
+  const int nq = ctx->n_queries;
+  const int mt = std::min(nt, std::max(1, nq));
+  if (mt <= 1 || nq < 64) {
+    merge_range(0, nq);
+  } else {
+    std::vector<std::thread> mthreads;
+    for (int t = 0; t < mt; ++t) {
+      const int q0 = static_cast<int>(static_cast<int64_t>(nq) * t / mt);
+      const int q1 = static_cast<int>(static_cast<int64_t>(nq) * (t + 1) / mt);
+      if (q0 < q1) mthreads.emplace_back(merge_range, q0, q1);
+    }
+    for (auto& th : mthreads) th.join();
   }
+  ctx->stats[7] += now_cycles() - tw1;
   return cells;
 }
 
@@ -424,11 +444,11 @@ void sift4g_search_collect_scored(void* handle, int64_t* out_ids,
 }
 
 // Phase breakdown for profiling: {pack_cycles, gather_cycles, score_cycles,
-// n_lis, n_lis_hits, n_scored}.  Cycle values are per-chunk maxima over
+// n_lis, n_lis_hits, n_scored, scan_wall_cycles, merge_wall_cycles}.  Cycle values are per-chunk maxima over
 // threads, summed over chunks (≈ wall-clock share of each phase).
-void sift4g_search_stats(void* handle, uint64_t* out6) {
+void sift4g_search_stats(void* handle, uint64_t* out8) {
   auto* ctx = static_cast<SearchCtx*>(handle);
-  for (int i = 0; i < 6; ++i) out6[i] = ctx->stats[i];
+  for (int i = 0; i < 8; ++i) out8[i] = ctx->stats[i];
 }
 
 void sift4g_search_destroy(void* handle) {

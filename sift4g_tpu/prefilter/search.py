@@ -218,17 +218,19 @@ def _search_database_native(
         if _os.environ.get("SIFT4G_TPU_SEARCH_STATS") and hasattr(
             lib, "sift4g_search_stats"
         ):
-            st = np.empty(6, dtype=np.uint64)
+            st = np.empty(8, dtype=np.uint64)
             lib.sift4g_search_stats(
                 ctx, st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
             )
-            pack, gather, score, n_lis, n_hits, n_scored = (int(x) for x in st)
+            (pack, gather, score, n_lis, n_hits, n_scored,
+             scan_w, merge_w) = (int(x) for x in st)
             tot = max(pack + gather + score, 1)
             print(
                 f"[search-stats] cycles pack={pack:.3g} ({100*pack/tot:.0f}%) "
                 f"gather={gather:.3g} ({100*gather/tot:.0f}%) "
                 f"score={score:.3g} ({100*score/tot:.0f}%)  "
-                f"n_scored={n_scored} n_lis={n_lis} lis_hits={n_hits}",
+                f"n_scored={n_scored} n_lis={n_lis} lis_hits={n_hits}  "
+                f"wall scan={scan_w:.3g} merge={merge_w:.3g}",
                 file=sys.stderr,
             )
         lib.sift4g_search_destroy(ctx)
