@@ -18,6 +18,7 @@ shard_map path (parallel/sharded.py).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List, Sequence
 
@@ -414,6 +415,7 @@ class BatchAligner:
         t_bucket: int = 128,
         b_cap: int = 0,
         resident: "ResidentDB | None" = None,
+        tail_policy: str = "",
     ):
         if backend == "auto":
             from . import best_backend
@@ -428,6 +430,20 @@ class BatchAligner:
         # optional grouped-batch width cap: tests bound interpret-mode work
         # with it (production leaves 0 = VMEM-budget policy only)
         self.b_cap = b_cap
+        # tail-group width policy for the grouped path.  "full" (default)
+        # pads every (query, rung) remainder to the bucket's full batch
+        # width; "pow2" shrinks the one tail group per (query, rung) to the
+        # smallest 256*2^k >= remainder.  Measured on the 2000q x 2M
+        # missense candidate distribution (tools /tmp simulation, round 2):
+        # padded/true cells 2.79x -> 1.79x with group and row counts
+        # unchanged, at the price of more distinct jit shapes (5 -> <=16)
+        # — a poor trade for a cold process on this relay (~10+ min/shape
+        # compile) but a good one for the serve daemon / warm processes.
+        # Scores are bit-identical either way (padding lanes are masked);
+        # tests assert equality across policies.
+        self.tail_policy = tail_policy or os.environ.get(
+            "SIFT4G_TPU_TAIL_POLICY", "full"
+        )
         # grouped kernel implementation: "pallas" (Mosaic, production) or
         # "xla" (the exact portable twin — CPU-mesh tests use it because
         # Mosaic interpret mode under shard_map is pathologically slow)
@@ -454,6 +470,15 @@ class BatchAligner:
                     self.batch = _round_up(self.batch, n_dev)
             except Exception:
                 self._mesh = None
+
+    def _group_width(self, count: int, bcap: int) -> int:
+        """Batch width for one group of ``count`` targets (tail policy)."""
+        if self.tail_policy != "pow2" or count >= bcap:
+            return bcap
+        bw = 256
+        while bw < count:
+            bw *= 2
+        return min(bw, bcap)
 
     def _sharded_fn(self):
         """Multi-device SPMD scorer (db-sharded), built once per aligner."""
@@ -654,7 +679,8 @@ class BatchAligner:
                 bcap = b_for(n_pad)
                 for pos in range(0, len(idxs), bcap):
                     chunk_idx = np.asarray(idxs[pos : pos + bcap])
-                    buckets.setdefault((n_pad, bcap, seg), []).append((item_idx, chunk_idx))
+                    bw = self._group_width(len(chunk_idx), bcap)
+                    buckets.setdefault((n_pad, bw, seg), []).append((item_idx, chunk_idx))
 
         matrix32 = self._matrix32_dev()
         devs = []      # (dev_scores (G_pad, B), B, groups)

@@ -68,3 +68,35 @@ def test_length_rungs_vec_matches_scalar():
     vec = _length_rungs_vec(lens, 128)
     for n, v in zip(lens.tolist(), vec.tolist()):
         assert v == _length_rung(n, 128), n
+
+
+def test_tail_policy_pow2_scores_identical():
+    """tail_policy="pow2" shrinks remainder groups to 256*2^k lanes; the
+    retained scores must be bit-identical to the full-width policy (padding
+    lanes are masked) while the tail group width actually narrows."""
+    rng = np.random.default_rng(13)
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    q = rng.integers(0, 26, 64).astype(np.uint8)
+    # 700 targets at one rung: full policy packs 512 + 512-wide tail for the
+    # 188 remainder; pow2 packs 512 + 256
+    targets = [rng.integers(0, 26, int(rng.integers(30, 120))).astype(np.uint8)
+               for _ in range(700)]
+    items = [(q, targets)]
+
+    ref = BatchAligner(scorer, backend="numpy").scores_many(items)[0]
+    got = {}
+    for policy in ("full", "pow2"):
+        al = BatchAligner(scorer, backend="pallas", b_cap=512, tail_policy=policy)
+        al._mesh = None
+        al.grouped_impl = "xla"  # exact portable twin; fast on CPU
+        got[policy] = al.scores_many(items)[0]
+    np.testing.assert_array_equal(got["full"], ref)
+    np.testing.assert_array_equal(got["pow2"], ref)
+
+    al = BatchAligner(scorer, backend="pallas", b_cap=512, tail_policy="pow2")
+    assert al._group_width(512, 512) == 512
+    assert al._group_width(188, 512) == 256
+    assert al._group_width(10, 512) == 256
+    assert al._group_width(300, 4096) == 512
+    al_full = BatchAligner(scorer, backend="pallas", b_cap=512)
+    assert al_full._group_width(188, 512) == 512
