@@ -197,3 +197,44 @@ def test_native_search_truncation_tie_parity(tmp_path):
                 del os.environ["SIFT4G_TPU_NO_NATIVE"]
             for a, b in zip(got_idx, want_idx):
                 np.testing.assert_array_equal(a, b)
+
+
+def test_native_search_tie_stress(tmp_path):
+    """Admission-floor exactness on a tie-heavy database: many equal-length
+    sequences sharing k-mers produce identical LIS/len scores, so the
+    global-floor gate and the nth_element truncation operate right at the
+    (score desc, id asc) tie boundary.  Candidate sets must still equal the
+    NumPy reference exactly, at every chunking."""
+    from sift4g_tpu.prefilter import search as S
+
+    rng = np.random.default_rng(99)
+    base = rng.integers(0, 20, 60)
+    recs = []
+    for i in range(500):
+        seq = base.copy()
+        # a couple of point mutations: most sequences keep identical k-mer
+        # hit structure -> equal scores (len is constant)
+        for _ in range(int(rng.integers(0, 3))):
+            seq[rng.integers(0, 60)] = rng.integers(0, 20)
+        recs.append(">t%d\n%s\n" % (i, "".join(chr(ord("A") + c) for c in seq)))
+    path = _write(tmp_path, "".join(recs))
+    queries = [
+        Chain(name="q0", codes=base.astype(np.uint8)),
+        Chain(name="q1", codes=rng.integers(0, 20, 80).astype(np.uint8)),
+    ]
+    devnull = open(os.devnull, "w")
+    for max_cand in (7, 64, 300):
+        for chunk in (1 << 40, 2000, 700):
+            got_idx, got_cells = S._search_database_native(
+                native.load(), path, queries, 5, max_cand, chunk, devnull
+            )
+            os.environ["SIFT4G_TPU_NO_NATIVE"] = "1"
+            try:
+                want_idx, want_cells = S.search_database(
+                    path, queries, 5, max_cand, chunk, log=devnull
+                )
+            finally:
+                del os.environ["SIFT4G_TPU_NO_NATIVE"]
+            assert got_cells == want_cells
+            for a, b in zip(got_idx, want_idx):
+                np.testing.assert_array_equal(a, b)
