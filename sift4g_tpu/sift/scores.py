@@ -43,10 +43,19 @@ def _onehot_counts(rows: np.ndarray, weights: np.ndarray) -> Tuple[np.ndarray, n
     if n:
         valid = VALID_AA_MASK[rows]  # (n, L)
         w = np.where(valid, weights[:, None], 0.0)  # (n, L)
-        # scatter-add per (pos, letter)
+        # scatter-add per (pos, letter).  Only letters actually present
+        # contribute (absent letters sum exact zeros), and the masked
+        # per-letter array reuses one scratch buffer; the per-column
+        # pairwise summation tree is unchanged, so results stay
+        # bit-identical to the unrestricted loop.
+        present = np.zeros(32, dtype=bool)
+        present[rows.ravel() & 31] = True
+        scratch = np.empty_like(w)
         for aa in range(26):
-            sel = np.where(rows == aa, w, 0.0)
-            matrix[:, aa] = sel.sum(axis=0)
+            if not present[aa]:
+                continue
+            np.multiply(w, rows == aa, out=scratch)
+            matrix[:, aa] = scratch.sum(axis=0)
     tot = matrix.sum(axis=1)
     return matrix, tot
 
@@ -231,17 +240,32 @@ def add_median_seq_info(
 ) -> None:
     """addMedianSeqInfo (:101-149): fill -1 entries of median_for_pos with
     the median sequence info of the X-free sub-alignment at that position.
-    ``rows`` include the query row."""
+    ``rows`` include the query row.
+
+    The result depends on the position only through its X-free row SUBSET,
+    and conserved cores share the all-rows-valid mask, so the full
+    count/weights/percentage/median recomputation (the reference's
+    per-position rescan, sift_scores.cpp:120-147) is memoized per distinct
+    keep mask — bit-identical, since identical subsets run the identical
+    arithmetic."""
+    cache: Dict[bytes, float] = {}
     for key, value in list(median_for_pos.items()):
         if value != -1:
             continue
         pos = int(key) - 1
         keep = VALID_AA_MASK[rows[:, pos]]
+        ck = keep.tobytes()
+        hit = cache.get(ck)
+        if hit is not None:
+            median_for_pos[key] = hit
+            continue
         sub = rows[keep]
         if sub.shape[0] == 0:
-            median_for_pos[key] = 0.0
+            median_for_pos[key] = cache.setdefault(ck, 0.0)
             continue
         raw, _ = create_matrix(sub, np.ones(sub.shape[0]))
         seq_weights, _ = calc_seq_weights(sub, raw)
         basic = basic_matrix_construction(sub, seq_weights)
-        median_for_pos[key] = calculate_median_seq_info(basic)
+        result = calculate_median_seq_info(basic)
+        cache[ck] = result
+        median_for_pos[key] = result
