@@ -444,6 +444,10 @@ class BatchAligner:
         self.tail_policy = tail_policy or os.environ.get(
             "SIFT4G_TPU_TAIL_POLICY", "full"
         )
+        if self.tail_policy not in ("full", "pow2"):
+            raise ValueError(
+                f"tail_policy must be 'full' or 'pow2', got {self.tail_policy!r}"
+            )
         # grouped kernel implementation: "pallas" (Mosaic, production) or
         # "xla" (the exact portable twin — CPU-mesh tests use it because
         # Mosaic interpret mode under shard_map is pathologically slow)

@@ -10,10 +10,12 @@
 //     (prefilter/kmer.py) and passed in as flat arrays;
 //   * per (db seq, query): score = LIS(hit positions) / float(db_len)
 //     in float32 (database_search.cpp:228-229);
-//   * admission with a monotone floor (quirk Q3), end-of-chunk sort by
-//     (score desc, db index asc) + truncate (the deterministic refinement
-//     of the reference's unstable sort, quirk Q4) and floor carry-over
-//     across chunks (database_search.cpp:151-153).
+//   * admission with a monotone floor (quirk Q3); at every chunk boundary
+//     the per-query list is truncated to the exact top-k SET under the
+//     (score desc, db index asc) total order (the deterministic refinement
+//     of the reference's unstable sort, quirk Q4) with floor carry-over
+//     across chunks (database_search.cpp:151-153).  Mid-stream lists are
+//     UNORDERED; ordering is established once at final collect.
 //
 // Threading splits each chunk into contiguous sequence ranges like the
 // reference's pthread-pool fan-out (database_search.cpp:101-123); each
@@ -59,7 +61,8 @@ struct SearchCtx {
     int32_t pos;
   };
   std::vector<Hit> hits;
-  // accumulated per-query candidates (sorted desc, <= max_candidates)
+  // accumulated per-query candidates: the exact top-k SET so far,
+  // <= max_candidates, UNORDERED mid-stream (collect_scored sorts)
   std::vector<std::vector<Candidate>> cands;
   std::vector<float> floors;
   // per query: global list reached max_candidates — from then on floors[q]
@@ -424,10 +427,11 @@ void sift4g_search_collect(void* handle, int64_t* out_ids) {
   }
 }
 
-// Flat per-query (id, score) pairs in (score desc, id asc) order — the
-// in-context order after the end-of-chunk sort/truncate.  Multi-host runs
-// merge per-shard candidate lists with the same total order, so shard
-// merges reproduce the single-process top-k exactly.
+// Flat per-query (id, score) pairs in (score desc, id asc) order —
+// established HERE by sorting each list (chunk merges keep an unordered
+// top-k set).  Multi-host runs merge per-shard candidate lists with the
+// same total order, so shard merges reproduce the single-process top-k
+// exactly.
 void sift4g_search_collect_scored(void* handle, int64_t* out_ids,
                                   float* out_scores) {
   auto* ctx = static_cast<SearchCtx*>(handle);

@@ -103,7 +103,8 @@ def test_native_search_matches_numpy(tmp_path):
                 del os.environ["SIFT4G_TPU_NO_NATIVE"]
             assert got_cells == want_cells
             for a, b in zip(got_idx, want_idx):
-                np.testing.assert_array_equal(a, b), (kmer, max_cand, chunk)
+                np.testing.assert_array_equal(a, b)
+    devnull.close(), (kmer, max_cand, chunk)
 
 
 def test_native_search_thread_count_independent(tmp_path):
@@ -222,7 +223,7 @@ def test_native_search_tie_stress(tmp_path):
         Chain(name="q0", codes=base.astype(np.uint8)),
         Chain(name="q1", codes=rng.integers(0, 20, 80).astype(np.uint8)),
     ]
-    devnull = open(os.devnull, "w")
+    devnull = open(os.devnull, "w")  # noqa: SIM115 — closed below
     for max_cand in (7, 64, 300):
         for chunk in (1 << 40, 2000, 700):
             got_idx, got_cells = S._search_database_native(
@@ -238,3 +239,4 @@ def test_native_search_tie_stress(tmp_path):
             assert got_cells == want_cells
             for a, b in zip(got_idx, want_idx):
                 np.testing.assert_array_equal(a, b)
+    devnull.close()
