@@ -26,6 +26,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -75,6 +76,7 @@ struct SearchCtx {
   // top-k is unchanged).
   std::vector<uint8_t> full;
   int n_threads;
+  bool flat;  // large-query-count gather layout (flat_threshold())
   // accumulated phase stats across chunks (max over threads per chunk for
   // the cycle counters — threads run concurrently, so the wall-clock cost
   // of a phase is its slowest thread): pack, gather, score cycles, then
@@ -82,15 +84,15 @@ struct SearchCtx {
   uint64_t stats[8] = {0, 0, 0, 0, 0, 0, 0, 0};
 };
 
-// Patience LIS length, strictly increasing (database_search.cpp:255-280).
+// Patience LIS length, strictly increasing (database_search.cpp:255-280),
+// over a position slice in db k-mer scan order.
 // ``min_needed``: abort (returning the current lower bound) as soon as even
 // extending by every remaining element cannot reach it — exact when the
 // caller only needs to know whether LIS >= min_needed (admission check),
 // because the returned value is then provably < min_needed too.
-int lis_length(const std::vector<int32_t>& xs, std::vector<int32_t>& tails,
+int lis_length(const int32_t* xs, size_t n, std::vector<int32_t>& tails,
                int min_needed = 0) {
   tails.clear();
-  const size_t n = xs.size();
   for (size_t i = 0; i < n; ++i) {
     if (static_cast<int>(tails.size() + (n - i)) < min_needed)
       return static_cast<int>(tails.size());
@@ -107,8 +109,20 @@ int lis_length(const std::vector<int32_t>& xs, std::vector<int32_t>& tails,
 struct ThreadState {
   std::vector<std::vector<Candidate>> cands;   // per query, admitted this chunk
   std::vector<float> floors;                   // local floor copies
-  std::vector<std::vector<int32_t>> qpos;      // per query scratch hit lists
-  std::vector<int32_t> touched;                // queries hit by current seq
+  // small-query-count gather scratch (n_queries <= kFlatHitsThreshold):
+  // per-query position vectors + touched list — the tables fit in L2 and
+  // per-hit random access is cheap
+  std::vector<std::vector<int32_t>> qpos;
+  std::vector<int32_t> touched;
+  // large-query-count gather scratch: flat (q, pos) pairs in db k-mer scan
+  // order plus (q, arrival-index) sort keys.  At proteome query counts
+  // (20k+) three n_queries-sized tables blow the L2 and every hit costs
+  // ~2 cache misses; a flat buffer + one tiny local key sort replaces
+  // them (measured: 230 -> 161 s at 20k q x 2M seqs, but the per-seq sort
+  // LOSES at 2k q where the tables fit — hence the threshold)
+  std::vector<SearchCtx::Hit> seqhits;
+  std::vector<uint64_t> seqkeys;
+  std::vector<int32_t> pos_sorted;
   std::vector<int32_t> tails;                  // LIS scratch
   std::vector<uint32_t> kmers;                 // k-mer scratch
   uint64_t cells = 0;
@@ -121,6 +135,15 @@ struct ThreadState {
   uint64_t n_lis_hits = 0;  // total hit-list elements fed to LIS
   uint64_t n_scored = 0;    // (seq, query) pairs reaching the scoring loop
 };
+
+// gather-scratch crossover: below this query count the per-query tables
+// (3 x n_queries entries) stay cache-resident and win; above it the flat
+// sort path wins (see ThreadState comment).  SIFT4G_TPU_FLAT_THRESHOLD
+// overrides (tests force the flat path with 0).
+inline int flat_threshold() {
+  if (const char* s = std::getenv("SIFT4G_TPU_FLAT_THRESHOLD")) return std::atoi(s);
+  return 8192;
+}
 
 inline uint64_t now_cycles() {
 #if defined(__x86_64__)
@@ -139,6 +162,66 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
   const int32_t* starts = ctx->starts;
   const uint8_t* gfull = ctx->full.data();
   const int maxc = ctx->max_candidates;
+  const bool flat = ctx->flat;
+
+  // score one (sequence, query) hit list; pos = positions in db k-mer
+  // scan order.  Admission + floor + periodic truncation semantics are
+  // identical for both gather layouts.
+  auto score_one = [&](int32_t q, const int32_t* pos, size_t h, float len_f,
+                       float score1, int64_t db_index) {
+    st->n_scored += 1;
+    auto& lst = st->cands[q];
+    float& floor = st->floors[q];
+    const bool full =
+        static_cast<int>(lst.size()) >= maxc || gfull[q] != 0;
+    float score;
+    if (h == 1) {
+      if (full && score1 <= floor) return;
+      score = score1;
+    } else if (h == 2) {
+      const int lis = 1 + (pos[1] > pos[0] ? 1 : 0);
+      score = static_cast<float>(lis) / len_f;
+      if (full && score <= floor) return;
+    } else {
+      // exact LIS skip: lis <= n_hits, so when the list is full and even
+      // n_hits/len cannot beat the admission floor the candidate cannot
+      // be admitted — identical candidate sets, no O(h log h) work.  At
+      // many-query scale (the human-missense mode) this removes the
+      // dominant cost once floors rise.
+      int min_needed = 0;
+      if (full) {
+        if (static_cast<float>(h) / len_f <= floor) return;
+        // smallest integer L with (float)L/len > floor — admission needs
+        // LIS >= L, so the LIS can abort once it provably falls short.
+        // Derived under the same float division the score uses (the +-1
+        // scan absorbs rounding at the boundary).
+        int L = static_cast<int>(floor * len_f);
+        while (L > 0 && static_cast<float>(L - 1) / len_f > floor) --L;
+        while (static_cast<float>(L) / len_f <= floor) ++L;
+        min_needed = L;
+      }
+      st->n_lis += 1;
+      st->n_lis_hits += h;
+      score = static_cast<float>(lis_length(pos, h, st->tails, min_needed)) / len_f;
+      if (full && score <= floor) return;
+    }
+    lst.push_back({score, db_index});
+    if (score < floor) floor = score;
+    // periodic local truncation: keep the top max_candidates by
+    // (score desc, id asc) via O(n) nth_element, raise the floor to the
+    // local k-th best.  Exact: within a thread ids ascend, so any later
+    // candidate with score <= floor is outranked by >= maxc retained
+    // entries under the total order and cannot reach the merged top-k
+    // (the retained SET equals a full sort's; order is restored at final
+    // collect).  This bounds list memory and makes the LIS skip fire
+    // within the first chunk.
+    if (static_cast<int>(lst.size()) >= 2 * maxc) {
+      std::nth_element(lst.begin(), lst.begin() + (maxc - 1), lst.end(),
+                       cand_less);
+      floor = lst[maxc - 1].score;
+      lst.resize(maxc);
+    }
+  };
 
   for (int64_t si = lo; si < hi; ++si) {
     const uint8_t* seq = codes + offsets[si];
@@ -171,6 +254,7 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
     // the probe -> starts -> hits dependent-miss chain is staged in blocks
     // with prefetching between stages (each stage's loads issue before the
     // next stage consumes them).
+    st->seqhits.clear();
     st->touched.clear();
     const uint64_t* present = ctx->present.data();
     const SearchCtx::Hit* hits_il = ctx->hits.data();
@@ -200,12 +284,35 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
         }
         const uint32_t kv = live[li];
         const int64_t s = starts[kv], e = starts[kv + 1];
-        for (int64_t h = s; h < e; ++h) {
-          const int32_t q = hits_il[h].q;
-          if (st->qpos[q].empty()) st->touched.push_back(q);
-          st->qpos[q].push_back(hits_il[h].pos);
+        if (flat) {
+          st->seqhits.insert(st->seqhits.end(), hits_il + s, hits_il + e);
+        } else {
+          for (int64_t hh = s; hh < e; ++hh) {
+            const int32_t q = hits_il[hh].q;
+            if (st->qpos[q].empty()) st->touched.push_back(q);
+            st->qpos[q].push_back(hits_il[hh].pos);
+          }
         }
       }
+    }
+    size_t nh = 0;
+    if (flat) {
+      // group hits per query, preserving arrival order: sort unique
+      // (q << 24 | arrival-index) keys — unstable sort is exact because
+      // the keys are unique and index order IS scan order within a query
+      nh = st->seqhits.size();
+      st->seqkeys.clear();
+      st->seqkeys.reserve(nh);
+      const int shift = (nh >> 24) ? 32 : 24;  // >16M hits/seq: wider index
+      for (size_t i = 0; i < nh; ++i)
+        st->seqkeys.push_back(
+            (static_cast<uint64_t>(st->seqhits[i].q) << shift) | i);
+      const uint64_t idx_mask = (nh >> 24) ? 0xFFFFFFFFull : 0xFFFFFFull;
+      std::sort(st->seqkeys.begin(), st->seqkeys.end());
+      st->pos_sorted.clear();
+      st->pos_sorted.reserve(nh);
+      for (uint64_t key : st->seqkeys)
+        st->pos_sorted.push_back(st->seqhits[key & idx_mask].pos);
     }
 
     uint64_t t2 = now_cycles();
@@ -214,72 +321,29 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
     const float len_f = static_cast<float>(n);
     // measured at missense scale (2000q x 5M): the mean hit-list length is
     // ~1.1 — almost every (seq, query) pair shares exactly one k-mer, so
-    // its LIS is known without running the patience loop.  h <= 2 paths
-    // compute the score directly under the SAME float division the general
-    // path uses (static_cast<float>(1) == 1.0f), keeping candidate sets
-    // bit-identical.
+    // its LIS is known without running the patience loop.  score_one's
+    // h <= 2 paths compute the score directly under the SAME float
+    // division the general path uses (static_cast<float>(1) == 1.0f),
+    // keeping candidate sets bit-identical.
     const float score1 = 1.0f / len_f;
     const int64_t db_index = start_index + si;
-    st->n_scored += st->touched.size();
-    for (int32_t q : st->touched) {
-      auto& lst = st->cands[q];
-      float& floor = st->floors[q];
-      auto& hits = st->qpos[q];
-      const size_t h = hits.size();
-      const bool full =
-          static_cast<int>(lst.size()) >= maxc || gfull[q] != 0;
-      float score;
-      if (h == 1) {
-        hits.clear();
-        if (full && score1 <= floor) continue;
-        score = score1;
-      } else if (h == 2) {
-        const int lis = 1 + (hits[1] > hits[0] ? 1 : 0);
-        hits.clear();
-        score = static_cast<float>(lis) / len_f;
-        if (full && score <= floor) continue;
-      } else {
-        // exact LIS skip: lis <= n_hits, so when the list is full and even
-        // n_hits/len cannot beat the admission floor the candidate cannot
-        // be admitted — identical candidate sets, no O(h log h) work.  At
-        // many-query scale (the human-missense mode) this removes the
-        // dominant cost once floors rise.
-        int min_needed = 0;
-        if (full) {
-          if (static_cast<float>(h) / len_f <= floor) {
-            hits.clear();
-            continue;
-          }
-          // smallest integer L with (float)L/len > floor — admission needs
-          // LIS >= L, so the LIS can abort once it provably falls short.
-          // Derived under the same float division the score uses (the +-1
-          // scan absorbs rounding at the boundary).
-          int L = static_cast<int>(floor * len_f);
-          while (L > 0 && static_cast<float>(L - 1) / len_f > floor) --L;
-          while (static_cast<float>(L) / len_f <= floor) ++L;
-          min_needed = L;
-        }
-        st->n_lis += 1;
-        st->n_lis_hits += h;
-        score = static_cast<float>(lis_length(hits, st->tails, min_needed)) / len_f;
-        hits.clear();
-        if (full && score <= floor) continue;
+    if (flat) {
+      const uint64_t* keys = st->seqkeys.data();
+      const int shift = (nh >> 24) ? 32 : 24;
+      for (size_t i0 = 0; i0 < nh;) {
+        const int32_t q = static_cast<int32_t>(keys[i0] >> shift);
+        size_t i1 = i0 + 1;
+        while (i1 < nh &&
+               static_cast<int32_t>(keys[i1] >> shift) == q) ++i1;
+        score_one(q, st->pos_sorted.data() + i0, i1 - i0, len_f, score1,
+                  db_index);
+        i0 = i1;
       }
-      lst.push_back({score, db_index});
-      if (score < floor) floor = score;
-      // periodic local truncation: keep the top max_candidates by
-      // (score desc, id asc) via O(n) nth_element, raise the floor to the
-      // local k-th best.  Exact: within a thread ids ascend, so any later
-      // candidate with score <= floor is outranked by >= maxc retained
-      // entries under the total order and cannot reach the merged top-k
-      // (the retained SET equals a full sort's; order is restored by the
-      // end-of-chunk merge sort).  This bounds list memory and makes the
-      // LIS skip fire within the first chunk.
-      if (static_cast<int>(lst.size()) >= 2 * maxc) {
-        std::nth_element(lst.begin(), lst.begin() + (maxc - 1), lst.end(),
-                         cand_less);
-        floor = lst[maxc - 1].score;
-        lst.resize(maxc);
+    } else {
+      for (int32_t q : st->touched) {
+        auto& hits = st->qpos[q];
+        score_one(q, hits.data(), hits.size(), len_f, score1, db_index);
+        hits.clear();
       }
     }
     st->cyc_score += now_cycles() - t2;
@@ -310,6 +374,7 @@ void* sift4g_search_create(int n_queries, int max_candidates, int kmer_len,
   ctx->cands.resize(n_queries);
   ctx->floors.assign(n_queries, 1e6f);  // database_search.cpp:86
   ctx->full.assign(n_queries, 0);
+  ctx->flat = n_queries > flat_threshold();
   unsigned hw = std::thread::hardware_concurrency();
   ctx->n_threads = n_threads > 0 ? n_threads : (hw ? static_cast<int>(hw) : 4);
   return ctx;
@@ -326,7 +391,7 @@ uint64_t sift4g_search_chunk(void* handle, const uint8_t* codes,
   for (auto& st : states) {
     st.cands.resize(ctx->n_queries);
     st.floors = ctx->floors;
-    st.qpos.resize(ctx->n_queries);
+    if (!ctx->flat) st.qpos.resize(ctx->n_queries);
   }
   std::vector<std::thread> threads;
   // residue-balanced contiguous ranges (the reference splits by sequence

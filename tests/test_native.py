@@ -240,3 +240,32 @@ def test_native_search_tie_stress(tmp_path):
             for a, b in zip(got_idx, want_idx):
                 np.testing.assert_array_equal(a, b)
     devnull.close()
+
+
+def test_native_search_flat_gather_matches(tmp_path, monkeypatch):
+    """The large-query-count flat gather layout (hit-key sort) must produce
+    the same candidate sets as the per-query-table layout."""
+    from sift4g_tpu.prefilter import search as S
+
+    rng = np.random.default_rng(23)
+    recs = []
+    for i in range(300):
+        seq = "".join(chr(ord("A") + c) for c in rng.integers(0, 20, rng.integers(20, 300)))
+        recs.append(f">t{i}\n{seq}\n")
+    path = _write(tmp_path, "".join(recs))
+    queries = [
+        Chain(name=f"q{i}", codes=rng.integers(0, 20, rng.integers(40, 150)).astype(np.uint8))
+        for i in range(6)
+    ]
+    devnull = open(os.devnull, "w")
+    results = []
+    for thresh in ("0", "8192"):  # 0 forces flat, default forces tables
+        monkeypatch.setenv("SIFT4G_TPU_FLAT_THRESHOLD", thresh)
+        got_idx, got_cells = S._search_database_native(
+            native.load(), path, queries, 5, 25, 4000, devnull
+        )
+        results.append((got_idx, got_cells))
+    devnull.close()
+    assert results[0][1] == results[1][1]
+    for a, b in zip(results[0][0], results[1][0]):
+        np.testing.assert_array_equal(a, b)
