@@ -386,61 +386,32 @@ uint64_t sift4g_search_chunk(void* handle, const uint8_t* codes,
                              int64_t start_index) {
   auto* ctx = static_cast<SearchCtx*>(handle);
   const uint64_t tw0 = now_cycles();
-  int nt = std::min<int64_t>(ctx->n_threads, std::max<int64_t>(1, n_seq));
+  const int nt = static_cast<int>(
+      std::min<int64_t>(ctx->n_threads, std::max<int64_t>(1, n_seq)));
   std::vector<ThreadState> states(nt);
   for (auto& st : states) {
     st.cands.resize(ctx->n_queries);
-    st.floors = ctx->floors;
     if (!ctx->flat) st.qpos.resize(ctx->n_queries);
   }
-  std::vector<std::thread> threads;
-  // residue-balanced contiguous ranges (the reference splits by sequence
-  // count, database_search.cpp:101-106; real databases have long-tailed
-  // length distributions, so balance on offsets instead — candidate sets
-  // are split-independent because per-thread lists merge at chunk end)
-  const int64_t total_res = offsets[n_seq];
-  int64_t lo = 0;
-  for (int t = 0; t < nt; ++t) {
-    int64_t hi;
-    if (t == nt - 1) {
-      hi = n_seq;
-    } else {
-      const int64_t target = total_res / nt * (t + 1);
-      hi = std::lower_bound(offsets + lo, offsets + n_seq, target) - offsets;
-    }
-    if (lo >= hi) continue;
-    threads.emplace_back(scan_range, ctx, codes, offsets, lo, hi, start_index,
-                         &states[t]);
-    lo = hi;
-  }
-  for (auto& th : threads) th.join();
-  const uint64_t tw1 = now_cycles();
+  const int maxc = ctx->max_candidates;
+  const int nq = ctx->n_queries;
 
-  uint64_t cells = 0;
-  uint64_t mx[3] = {0, 0, 0};
-  for (auto& st : states) {
-    cells += st.cells;
-    mx[0] = std::max(mx[0], st.cyc_pack);
-    mx[1] = std::max(mx[1], st.cyc_gather);
-    mx[2] = std::max(mx[2], st.cyc_score);
-    ctx->stats[3] += st.n_lis;
-    ctx->stats[4] += st.n_lis_hits;
-    ctx->stats[5] += st.n_scored;
-  }
-  for (int i = 0; i < 3; ++i) ctx->stats[i] += mx[i];
-  ctx->stats[6] += tw1 - tw0;
   // merge + truncate + floor update (database_search.cpp:131-154).  Only
   // the retained SET and the k-th-best floor matter mid-stream, so an O(n)
-  // nth_element replaces the full sort (collect_scored sorts at the end);
-  // the flood gate keeps post-chunk-1 thread lists near-empty anyway.
-  // Queries are independent — fan the merge out over the same threads.
-  const int maxc = ctx->max_candidates;
+  // nth_element replaces the full sort (collect_scored sorts at the end).
+  // Queries are independent — fan the merge out over the same threads —
+  // and queries no thread touched this round skip entirely.
   auto merge_range = [&](int q0, int q1) {
     for (int q = q0; q < q1; ++q) {
-      auto& dst = ctx->cands[q];
+      bool any_new = false;
       for (auto& st : states)
+        if (!st.cands[q].empty()) { any_new = true; break; }
+      if (!any_new) continue;
+      auto& dst = ctx->cands[q];
+      for (auto& st : states) {
         dst.insert(dst.end(), st.cands[q].begin(), st.cands[q].end());
-      if (dst.empty()) continue;
+        st.cands[q].clear();
+      }
       if (static_cast<int>(dst.size()) > maxc) {
         std::nth_element(dst.begin(), dst.begin() + (maxc - 1), dst.end(),
                          cand_less);
@@ -455,11 +426,12 @@ uint64_t sift4g_search_chunk(void* handle, const uint8_t* codes,
       }
     }
   };
-  const int nq = ctx->n_queries;
-  const int mt = std::min(nt, std::max(1, nq));
-  if (mt <= 1 || nq < 64) {
-    merge_range(0, nq);
-  } else {
+  auto merge_all = [&]() {
+    const int mt = std::min(nt, std::max(1, nq));
+    if (mt <= 1 || nq < 64) {
+      merge_range(0, nq);
+      return;
+    }
     std::vector<std::thread> mthreads;
     for (int t = 0; t < mt; ++t) {
       const int q0 = static_cast<int>(static_cast<int64_t>(nq) * t / mt);
@@ -467,8 +439,68 @@ uint64_t sift4g_search_chunk(void* handle, const uint8_t* codes,
       if (q0 < q1) mthreads.emplace_back(merge_range, q0, q1);
     }
     for (auto& th : mthreads) th.join();
+  };
+
+  // SUB-chunk rounds: merging every ~64M residues arms the global
+  // admission floor early, so the first streamed chunk does not pay a
+  // whole chunk of ungated per-thread admission floods (the gate only
+  // activates once ctx->full[q] is set by a merge).  Candidate sets are
+  // invariant to the round size (chunk-size independence is tested);
+  // rounds after the floors stabilize skip untouched queries in the merge.
+  const int64_t kSubRes = 64 * 1000 * 1000;
+  const int64_t total_res = offsets[n_seq];
+  uint64_t cells = 0;
+  uint64_t scan_cycles = 0;
+  int64_t sub_lo = 0;
+  while (sub_lo < n_seq) {
+    int64_t sub_hi;
+    if (total_res - offsets[sub_lo] <= kSubRes + kSubRes / 2) {
+      sub_hi = n_seq;  // absorb a small tail into the last round
+    } else {
+      sub_hi = std::lower_bound(offsets + sub_lo + 1, offsets + n_seq,
+                                offsets[sub_lo] + kSubRes) - offsets;
+    }
+    const uint64_t ts0 = now_cycles();
+    for (auto& st : states) st.floors = ctx->floors;
+    std::vector<std::thread> threads;
+    // residue-balanced contiguous ranges (the reference splits by sequence
+    // count, database_search.cpp:101-106; real databases have long-tailed
+    // length distributions, so balance on offsets instead — candidate sets
+    // are split-independent because per-thread lists merge each round)
+    const int64_t sub_res = offsets[sub_hi] - offsets[sub_lo];
+    int64_t lo = sub_lo;
+    for (int t = 0; t < nt; ++t) {
+      int64_t hi;
+      if (t == nt - 1) {
+        hi = sub_hi;
+      } else {
+        const int64_t target = offsets[sub_lo] + sub_res / nt * (t + 1);
+        hi = std::lower_bound(offsets + lo, offsets + sub_hi, target) - offsets;
+      }
+      if (lo >= hi) continue;
+      threads.emplace_back(scan_range, ctx, codes, offsets, lo, hi,
+                           start_index, &states[t]);
+      lo = hi;
+    }
+    for (auto& th : threads) th.join();
+    scan_cycles += now_cycles() - ts0;
+    merge_all();
+    sub_lo = sub_hi;
   }
-  ctx->stats[7] += now_cycles() - tw1;
+
+  uint64_t mx[3] = {0, 0, 0};
+  for (auto& st : states) {
+    cells += st.cells;
+    mx[0] = std::max(mx[0], st.cyc_pack);
+    mx[1] = std::max(mx[1], st.cyc_gather);
+    mx[2] = std::max(mx[2], st.cyc_score);
+    ctx->stats[3] += st.n_lis;
+    ctx->stats[4] += st.n_lis_hits;
+    ctx->stats[5] += st.n_scored;
+  }
+  for (int i = 0; i < 3; ++i) ctx->stats[i] += mx[i];
+  ctx->stats[6] += scan_cycles;
+  ctx->stats[7] += (now_cycles() - tw0) - scan_cycles;
   return cells;
 }
 
