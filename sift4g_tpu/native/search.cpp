@@ -350,6 +350,32 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
   }
 }
 
+
+// Fan a per-query emit step over hardware threads; out offsets come from
+// the per-query counts prefix sum so threads write disjoint ranges.
+template <typename Fn>
+void for_queries_threaded(SearchCtx* ctx, Fn fn) {
+  const int nq = ctx->n_queries;
+  std::vector<int64_t> off(nq + 1, 0);
+  for (int q = 0; q < nq; ++q)
+    off[q + 1] = off[q] + static_cast<int64_t>(ctx->cands[q].size());
+  const int nt = std::max(1, std::min(ctx->n_threads, nq));
+  if (nt == 1 || nq < 64) {
+    for (int q = 0; q < nq; ++q) fn(q, off[q]);
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) {
+    const int q0 = static_cast<int>(static_cast<int64_t>(nq) * t / nt);
+    const int q1 = static_cast<int>(static_cast<int64_t>(nq) * (t + 1) / nt);
+    if (q0 >= q1) continue;
+    threads.emplace_back([&, q0, q1]() {
+      for (int q = q0; q < q1; ++q) fn(q, off[q]);
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
 }  // namespace
 
 extern "C" {
@@ -514,14 +540,11 @@ void sift4g_search_counts(void* handle, int64_t* out_counts) {
 // (database_search.cpp:173-180).
 void sift4g_search_collect(void* handle, int64_t* out_ids) {
   auto* ctx = static_cast<SearchCtx*>(handle);
-  int64_t w = 0;
-  for (int q = 0; q < ctx->n_queries; ++q) {
-    std::vector<int64_t> ids;
-    ids.reserve(ctx->cands[q].size());
-    for (auto& c : ctx->cands[q]) ids.push_back(c.id);
-    std::sort(ids.begin(), ids.end());
-    for (int64_t id : ids) out_ids[w++] = id;
-  }
+  for_queries_threaded(ctx, [&](int q, int64_t w) {
+    for (auto& c : ctx->cands[q]) out_ids[w++] = c.id;
+    std::sort(out_ids + w - static_cast<int64_t>(ctx->cands[q].size()),
+              out_ids + w);
+  });
 }
 
 // Flat per-query (id, score) pairs in (score desc, id asc) order —
@@ -532,8 +555,7 @@ void sift4g_search_collect(void* handle, int64_t* out_ids) {
 void sift4g_search_collect_scored(void* handle, int64_t* out_ids,
                                   float* out_scores) {
   auto* ctx = static_cast<SearchCtx*>(handle);
-  int64_t w = 0;
-  for (int q = 0; q < ctx->n_queries; ++q) {
+  for_queries_threaded(ctx, [&](int q, int64_t w) {
     // chunk merges keep an unordered top-k set; order is established here
     std::sort(ctx->cands[q].begin(), ctx->cands[q].end(), cand_less);
     for (auto& c : ctx->cands[q]) {
@@ -541,7 +563,7 @@ void sift4g_search_collect_scored(void* handle, int64_t* out_ids,
       out_scores[w] = c.score;
       ++w;
     }
-  }
+  });
 }
 
 // Phase breakdown for profiling: {pack_cycles, gather_cycles, score_cycles,
