@@ -427,6 +427,13 @@ uint64_t sift4g_search_chunk(void* handle, const uint8_t* codes,
   // nth_element replaces the full sort (collect_scored sorts at the end).
   // Queries are independent — fan the merge out over the same threads —
   // and queries no thread touched this round skip entirely.
+  // Truncation is LAZY once the gate is armed: between truncations the
+  // standing floor stays valid (the top-k only improves, so a bound that
+  // excluded a candidate before still excludes it) and dst may hold up to
+  // maxc + slack entries mid-round; sift4g_search_counts/collect truncate
+  // before reporting.  This turns the per-round O(maxc) nth_element into
+  // one every ~slack admissions per query.
+  const int slack = maxc / 8 + 64;
   auto merge_range = [&](int q0, int q1) {
     for (int q = q0; q < q1; ++q) {
       bool any_new = false;
@@ -438,17 +445,28 @@ uint64_t sift4g_search_chunk(void* handle, const uint8_t* codes,
         dst.insert(dst.end(), st.cands[q].begin(), st.cands[q].end());
         st.cands[q].clear();
       }
-      if (static_cast<int>(dst.size()) > maxc) {
+      if (!ctx->full[q]) {
+        if (static_cast<int>(dst.size()) >= maxc) {
+          // arm the gate precisely: truncate to the top-k, floor = k-th
+          if (static_cast<int>(dst.size()) > maxc) {
+            std::nth_element(dst.begin(), dst.begin() + (maxc - 1),
+                             dst.end(), cand_less);
+            dst.resize(maxc);
+          }
+          float lo = dst[0].score;
+          for (const auto& c : dst) lo = std::min(lo, c.score);
+          ctx->floors[q] = lo;  // min of exactly maxc entries = k-th best
+          ctx->full[q] = 1;
+        } else {
+          float lo = dst[0].score;
+          for (const auto& c : dst) lo = std::min(lo, c.score);
+          ctx->floors[q] = lo;
+        }
+      } else if (static_cast<int>(dst.size()) > maxc + slack) {
         std::nth_element(dst.begin(), dst.begin() + (maxc - 1), dst.end(),
                          cand_less);
         dst.resize(maxc);
         ctx->floors[q] = dst[maxc - 1].score;
-        ctx->full[q] = 1;
-      } else {
-        float lo = dst[0].score;
-        for (const auto& c : dst) lo = std::min(lo, c.score);
-        ctx->floors[q] = lo;
-        ctx->full[q] = static_cast<int>(dst.size()) >= maxc ? 1 : 0;
       }
     }
   };
@@ -530,8 +548,44 @@ uint64_t sift4g_search_chunk(void* handle, const uint8_t* codes,
   return cells;
 }
 
+namespace {
+
+// Lazy merge truncation can leave up to maxc + slack entries per query
+// mid-stream; establish the exact top-k SET before anything is reported
+// (counts is always called before collect by both consumers, but each
+// reporter truncates for safety — the operation is idempotent).
+void truncate_all(SearchCtx* ctx) {
+  const int maxc = ctx->max_candidates;
+  const int nq = ctx->n_queries;
+  const int nt = std::max(1, std::min(ctx->n_threads, nq));
+  auto trunc = [&](int q0, int q1) {
+    for (int q = q0; q < q1; ++q) {
+      auto& dst = ctx->cands[q];
+      if (static_cast<int>(dst.size()) <= maxc) continue;
+      std::nth_element(dst.begin(), dst.begin() + (maxc - 1), dst.end(),
+                       cand_less);
+      dst.resize(maxc);
+      ctx->floors[q] = dst[maxc - 1].score;
+    }
+  };
+  if (nt == 1 || nq < 64) {
+    trunc(0, nq);
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) {
+    const int q0 = static_cast<int>(static_cast<int64_t>(nq) * t / nt);
+    const int q1 = static_cast<int>(static_cast<int64_t>(nq) * (t + 1) / nt);
+    if (q0 < q1) threads.emplace_back(trunc, q0, q1);
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
 void sift4g_search_counts(void* handle, int64_t* out_counts) {
   auto* ctx = static_cast<SearchCtx*>(handle);
+  truncate_all(ctx);
   for (int q = 0; q < ctx->n_queries; ++q)
     out_counts[q] = static_cast<int64_t>(ctx->cands[q].size());
 }
@@ -540,6 +594,7 @@ void sift4g_search_counts(void* handle, int64_t* out_counts) {
 // (database_search.cpp:173-180).
 void sift4g_search_collect(void* handle, int64_t* out_ids) {
   auto* ctx = static_cast<SearchCtx*>(handle);
+  truncate_all(ctx);
   for_queries_threaded(ctx, [&](int q, int64_t w) {
     for (auto& c : ctx->cands[q]) out_ids[w++] = c.id;
     std::sort(out_ids + w - static_cast<int64_t>(ctx->cands[q].size()),
@@ -555,6 +610,7 @@ void sift4g_search_collect(void* handle, int64_t* out_ids) {
 void sift4g_search_collect_scored(void* handle, int64_t* out_ids,
                                   float* out_scores) {
   auto* ctx = static_cast<SearchCtx*>(handle);
+  truncate_all(ctx);
   for_queries_threaded(ctx, [&](int q, int64_t w) {
     // chunk merges keep an unordered top-k set; order is established here
     std::sort(ctx->cands[q].begin(), ctx->cands[q].end(), cand_less);
