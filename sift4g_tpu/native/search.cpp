@@ -84,19 +84,25 @@ struct SearchCtx {
   uint64_t stats[8] = {0, 0, 0, 0, 0, 0, 0, 0};
 };
 
+// Hit-position accessors: the small-query path scores contiguous int32
+// position slices, the flat path scores runs of (q, pos) pairs in place.
+inline int32_t pos_at(const int32_t* p, size_t i) { return p[i]; }
+inline int32_t pos_at(const SearchCtx::Hit* p, size_t i) { return p[i].pos; }
+
 // Patience LIS length, strictly increasing (database_search.cpp:255-280),
 // over a position slice in db k-mer scan order.
 // ``min_needed``: abort (returning the current lower bound) as soon as even
 // extending by every remaining element cannot reach it — exact when the
 // caller only needs to know whether LIS >= min_needed (admission check),
 // because the returned value is then provably < min_needed too.
-int lis_length(const int32_t* xs, size_t n, std::vector<int32_t>& tails,
+template <typename P>
+int lis_length(const P* xs, size_t n, std::vector<int32_t>& tails,
                int min_needed = 0) {
   tails.clear();
   for (size_t i = 0; i < n; ++i) {
     if (static_cast<int>(tails.size() + (n - i)) < min_needed)
       return static_cast<int>(tails.size());
-    const int32_t x = xs[i];
+    const int32_t x = pos_at(xs, i);
     auto it = std::lower_bound(tails.begin(), tails.end(), x);
     if (it == tails.end())
       tails.push_back(x);
@@ -115,14 +121,15 @@ struct ThreadState {
   std::vector<std::vector<int32_t>> qpos;
   std::vector<int32_t> touched;
   // large-query-count gather scratch: flat (q, pos) pairs in db k-mer scan
-  // order plus (q, arrival-index) sort keys.  At proteome query counts
-  // (20k+) three n_queries-sized tables blow the L2 and every hit costs
-  // ~2 cache misses; a flat buffer + one tiny local key sort replaces
-  // them (measured: 230 -> 161 s at 20k q x 2M seqs, but the per-seq sort
-  // LOSES at 2k q where the tables fit — hence the threshold)
+  // order, grouped per query by a stable LSD radix sort on q (1-3 byte
+  // passes; stability preserves arrival order within a query).  At
+  // proteome query counts (20k+) three n_queries-sized tables blow the L2
+  // and every hit costs ~2 cache misses; the flat buffer + radix passes
+  // are sequential (measured: 230 -> 161 s at 20k q x 2M seqs with a
+  // comparison sort, radix cheaper still; the per-seq grouping LOSES at
+  // 2k q where the tables fit — hence the threshold)
   std::vector<SearchCtx::Hit> seqhits;
-  std::vector<uint64_t> seqkeys;
-  std::vector<int32_t> pos_sorted;
+  std::vector<SearchCtx::Hit> seqhits2;
   std::vector<int32_t> tails;                  // LIS scratch
   std::vector<uint32_t> kmers;                 // k-mer scratch
   uint64_t cells = 0;
@@ -163,11 +170,13 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
   const uint8_t* gfull = ctx->full.data();
   const int maxc = ctx->max_candidates;
   const bool flat = ctx->flat;
+  const int q_bytes =
+      ctx->n_queries <= 256 ? 1 : (ctx->n_queries <= 65536 ? 2 : 3);
 
   // score one (sequence, query) hit list; pos = positions in db k-mer
   // scan order.  Admission + floor + periodic truncation semantics are
   // identical for both gather layouts.
-  auto score_one = [&](int32_t q, const int32_t* pos, size_t h, float len_f,
+  auto score_one = [&](int32_t q, const auto* pos, size_t h, float len_f,
                        float score1, int64_t db_index) {
     st->n_scored += 1;
     auto& lst = st->cands[q];
@@ -179,7 +188,7 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
       if (full && score1 <= floor) return;
       score = score1;
     } else if (h == 2) {
-      const int lis = 1 + (pos[1] > pos[0] ? 1 : 0);
+      const int lis = 1 + (pos_at(pos, 1) > pos_at(pos, 0) ? 1 : 0);
       score = static_cast<float>(lis) / len_f;
       if (full && score <= floor) return;
     } else {
@@ -297,22 +306,28 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
     }
     size_t nh = 0;
     if (flat) {
-      // group hits per query, preserving arrival order: sort unique
-      // (q << 24 | arrival-index) keys — unstable sort is exact because
-      // the keys are unique and index order IS scan order within a query
+      // group hits per query, preserving arrival order: stable LSD radix
+      // sort on q (byte passes; only as many as the query count needs)
       nh = st->seqhits.size();
-      st->seqkeys.clear();
-      st->seqkeys.reserve(nh);
-      const int shift = (nh >> 24) ? 32 : 24;  // >16M hits/seq: wider index
-      for (size_t i = 0; i < nh; ++i)
-        st->seqkeys.push_back(
-            (static_cast<uint64_t>(st->seqhits[i].q) << shift) | i);
-      const uint64_t idx_mask = (nh >> 24) ? 0xFFFFFFFFull : 0xFFFFFFull;
-      std::sort(st->seqkeys.begin(), st->seqkeys.end());
-      st->pos_sorted.clear();
-      st->pos_sorted.reserve(nh);
-      for (uint64_t key : st->seqkeys)
-        st->pos_sorted.push_back(st->seqhits[key & idx_mask].pos);
+      st->seqhits2.resize(nh);
+      SearchCtx::Hit* a = st->seqhits.data();
+      SearchCtx::Hit* b = st->seqhits2.data();
+      for (int shift_b = 0; shift_b < q_bytes * 8; shift_b += 8) {
+        uint32_t counts[256] = {0};
+        for (size_t i = 0; i < nh; ++i)
+          ++counts[(static_cast<uint32_t>(a[i].q) >> shift_b) & 0xFF];
+        uint32_t sum = 0;
+        for (int v = 0; v < 256; ++v) {
+          const uint32_t c = counts[v];
+          counts[v] = sum;
+          sum += c;
+        }
+        for (size_t i = 0; i < nh; ++i)
+          b[counts[(static_cast<uint32_t>(a[i].q) >> shift_b) & 0xFF]++] = a[i];
+        std::swap(a, b);
+      }
+      if (a != st->seqhits.data())
+        std::swap(st->seqhits, st->seqhits2);
     }
 
     uint64_t t2 = now_cycles();
@@ -328,15 +343,12 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
     const float score1 = 1.0f / len_f;
     const int64_t db_index = start_index + si;
     if (flat) {
-      const uint64_t* keys = st->seqkeys.data();
-      const int shift = (nh >> 24) ? 32 : 24;
+      const SearchCtx::Hit* hs = st->seqhits.data();
       for (size_t i0 = 0; i0 < nh;) {
-        const int32_t q = static_cast<int32_t>(keys[i0] >> shift);
+        const int32_t q = hs[i0].q;
         size_t i1 = i0 + 1;
-        while (i1 < nh &&
-               static_cast<int32_t>(keys[i1] >> shift) == q) ++i1;
-        score_one(q, st->pos_sorted.data() + i0, i1 - i0, len_f, score1,
-                  db_index);
+        while (i1 < nh && hs[i1].q == q) ++i1;
+        score_one(q, hs + i0, i1 - i0, len_f, score1, db_index);
         i0 = i1;
       }
     } else {
