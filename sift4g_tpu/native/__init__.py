@@ -54,6 +54,17 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         lib.sift4g_search_collect_scored.argtypes = [
             ctypes.c_void_p, c_i64_p, ctypes.POINTER(ctypes.c_float),
         ]
+    if hasattr(lib, "sift4g_hash_count"):  # stale .so tolerance
+        lib.sift4g_hash_count.restype = c_i64
+        lib.sift4g_hash_count.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), c_i64_p, c_i64, ctypes.c_int,
+            c_i32_p, c_i64,
+        ]
+        lib.sift4g_hash_fill.restype = None
+        lib.sift4g_hash_fill.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), c_i64_p, c_i64, ctypes.c_int,
+            c_i32_p, c_i64, c_i32_p, c_i32_p,
+        ]
     if hasattr(lib, "sift4g_search_stats"):  # stale .so tolerance
         lib.sift4g_search_stats.restype = None
         lib.sift4g_search_stats.argtypes = [

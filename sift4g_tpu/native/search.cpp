@@ -642,6 +642,66 @@ void sift4g_search_stats(void* handle, uint64_t* out8) {
   for (int i = 0; i < 8; ++i) out8[i] = ctx->stats[i];
 }
 
+// CSR inverted-index build over ALL query k-mers (hash.cpp:56-85; no
+// adjacent-dedup here — that applies to database sequences only, Q5).
+// Two calls: count fills starts with the prefix sum and returns n_hits;
+// fill writes (query, position) hits in query-scan then position order
+// (the reference's fill order).  codes = concatenated query codes,
+// offsets = (n_queries+1,) int64 boundaries.
+int64_t sift4g_hash_count(const uint8_t* codes, const int64_t* offsets,
+                          int64_t n_queries, int k, int32_t* starts,
+                          int64_t n_starts) {
+  const int64_t table = n_starts - 1;
+  std::memset(starts, 0, sizeof(int32_t) * static_cast<size_t>(n_starts));
+  const uint32_t mask = (k == 5) ? 0x1FFFFFFu : (k == 4 ? 0xFFFFFu : 0x7FFFu);
+  for (int64_t qi = 0; qi < n_queries; ++qi) {
+    const uint8_t* seq = codes + offsets[qi];
+    const int64_t n = offsets[qi + 1] - offsets[qi];
+    if (n < k) continue;
+    uint32_t km = 0;
+    for (int j = 0; j < k; ++j) km = (km << 5) | seq[j];
+    ++starts[km + 1];
+    for (int64_t j = k; j < n; ++j) {
+      km = ((km << 5) | seq[j]) & mask;
+      ++starts[km + 1];
+    }
+  }
+  // inclusive cumsum over counts-at-(km+1): starts[v] becomes the offset
+  // of kmer v's first hit, starts[table] the total (the Python layout)
+  int64_t sum = 0;
+  for (int64_t v = 0; v <= table; ++v) {
+    sum += starts[v];
+    starts[v] = static_cast<int32_t>(sum);
+  }
+  return sum;
+}
+
+void sift4g_hash_fill(const uint8_t* codes, const int64_t* offsets,
+                      int64_t n_queries, int k, const int32_t* starts,
+                      int64_t n_starts, int32_t* hit_query,
+                      int32_t* hit_pos) {
+  const int64_t table = n_starts - 1;
+  std::vector<int32_t> cur(starts, starts + table);
+  const uint32_t mask = (k == 5) ? 0x1FFFFFFu : (k == 4 ? 0xFFFFFu : 0x7FFFu);
+  for (int64_t qi = 0; qi < n_queries; ++qi) {
+    const uint8_t* seq = codes + offsets[qi];
+    const int64_t n = offsets[qi + 1] - offsets[qi];
+    if (n < k) continue;
+    uint32_t km = 0;
+    for (int j = 0; j < k; ++j) km = (km << 5) | seq[j];
+    int32_t w = cur[km]++;
+    hit_query[w] = static_cast<int32_t>(qi);
+    hit_pos[w] = 0;
+    int32_t p = 1;
+    for (int64_t j = k; j < n; ++j, ++p) {
+      km = ((km << 5) | seq[j]) & mask;
+      w = cur[km]++;
+      hit_query[w] = static_cast<int32_t>(qi);
+      hit_pos[w] = p;
+    }
+  }
+}
+
 void sift4g_search_destroy(void* handle) {
   delete static_cast<SearchCtx*>(handle);
 }

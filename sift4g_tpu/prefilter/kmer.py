@@ -55,6 +55,8 @@ class QueryKmerHash:
     def __init__(self, query_codes: List[np.ndarray], k: int):
         self.k = k
         table_size = NUM_DIFF_KMERS[k]
+        if self._init_native(query_codes, k, table_size):
+            return
         all_kmers = []
         all_qids = []
         all_pos = []
@@ -85,6 +87,47 @@ class QueryKmerHash:
         # stable sort by kmer preserves (query, position) scan order per kmer
         self.hit_query = qids[order]
         self.hit_pos = pos[order]
+
+    def _init_native(self, query_codes: List[np.ndarray], k: int,
+                     table_size: int) -> bool:
+        """C++ two-pass CSR build (bit-identical arrays: same fill order);
+        the NumPy path below is the oracle (tests compare them)."""
+        import ctypes
+
+        from .. import native
+
+        lib = native.load()
+        if lib is None or not hasattr(lib, "sift4g_hash_count"):
+            return False
+        total = sum(int(c.shape[0]) for c in query_codes)
+        codes = np.empty(total, dtype=np.uint8)
+        offsets = np.zeros(len(query_codes) + 1, dtype=np.int64)
+        w = 0
+        for i, c in enumerate(query_codes):
+            codes[w : w + c.shape[0]] = c
+            w += c.shape[0]
+            offsets[i + 1] = w
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        self.starts = np.empty(table_size + 1, dtype=np.int32)
+        n_hits = lib.sift4g_hash_count(
+            codes.ctypes.data_as(u8p), offsets.ctypes.data_as(i64p),
+            len(query_codes), k,
+            self.starts.ctypes.data_as(i32p), self.starts.shape[0],
+        )
+        self.hit_query = np.empty(max(int(n_hits), 1), dtype=np.int32)
+        self.hit_pos = np.empty(max(int(n_hits), 1), dtype=np.int32)
+        lib.sift4g_hash_fill(
+            codes.ctypes.data_as(u8p), offsets.ctypes.data_as(i64p),
+            len(query_codes), k,
+            self.starts.ctypes.data_as(i32p), self.starts.shape[0],
+            self.hit_query.ctypes.data_as(i32p),
+            self.hit_pos.ctypes.data_as(i32p),
+        )
+        self.hit_query = self.hit_query[: int(n_hits)]
+        self.hit_pos = self.hit_pos[: int(n_hits)]
+        return True
 
     def lookup(self, kmer: int) -> Tuple[np.ndarray, np.ndarray]:
         s, e = self.starts[kmer], self.starts[kmer + 1]

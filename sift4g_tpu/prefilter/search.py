@@ -167,8 +167,9 @@ def _search_database_native(
                 flat = np.empty(max(int(counts.sum()), 1), dtype=np.int64)
                 lib.sift4g_search_collect(ctx, flat.ctypes.data_as(i64p))
                 bounds = np.concatenate(([0], np.cumsum(counts)))
+                # views: flat stays alive via .base, consumers don't mutate
                 return [
-                    flat[bounds[i] : bounds[i + 1]].copy()
+                    flat[bounds[i] : bounds[i + 1]]
                     for i in range(len(queries))
                 ]
 
@@ -200,17 +201,19 @@ def _search_database_native(
                 ctx, flat.ctypes.data_as(i64p),
                 fscores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             )
-            # per query in (score desc, id asc) order
+            # per query in (score desc, id asc) order; views of the flat
+            # arrays (kept alive via .base)
             scored = [
-                (fscores[bounds[i] : bounds[i + 1]].copy(),
-                 flat[bounds[i] : bounds[i + 1]].copy())
+                (fscores[bounds[i] : bounds[i + 1]],
+                 flat[bounds[i] : bounds[i + 1]])
                 for i in range(len(queries))
             ]
             indices = [np.sort(ids) for _, ids in scored]
         else:
             lib.sift4g_search_collect(ctx, flat.ctypes.data_as(i64p))
+            # views: flat stays alive via .base, consumers don't mutate
             indices = [
-                flat[bounds[i] : bounds[i + 1]].copy() for i in range(len(queries))
+                flat[bounds[i] : bounds[i + 1]] for i in range(len(queries))
             ]
     finally:
         import os as _os

@@ -269,3 +269,23 @@ def test_native_search_flat_gather_matches(tmp_path, monkeypatch):
     assert results[0][1] == results[1][1]
     for a, b in zip(results[0][0], results[1][0]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_native_hash_matches_numpy(monkeypatch):
+    """The C++ CSR hash build must produce bit-identical arrays to the
+    NumPy path (same fill order: query scan order, then position)."""
+    from sift4g_tpu.prefilter.kmer import QueryKmerHash
+
+    rng = np.random.default_rng(31)
+    for k in (3, 4, 5):
+        codes = [rng.integers(0, 26, int(n)).astype(np.uint8)
+                 for n in rng.integers(1, 300, 12)]
+        native_h = QueryKmerHash(codes, k)
+        monkeypatch.setenv("SIFT4G_TPU_NO_NATIVE", "1")
+        # reset the cached lib state so load() re-checks the env
+        import sift4g_tpu.native as N
+        numpy_h = QueryKmerHash(codes, k)
+        monkeypatch.delenv("SIFT4G_TPU_NO_NATIVE")
+        np.testing.assert_array_equal(native_h.starts, numpy_h.starts)
+        np.testing.assert_array_equal(native_h.hit_query, numpy_h.hit_query)
+        np.testing.assert_array_equal(native_h.hit_pos, numpy_h.hit_pos)
