@@ -154,27 +154,60 @@ def bench_native_cpu(n_targets=4096, n=512, m=360):
     return m * n * n_targets / dt / 1e9
 
 
+def _probe_relay(probe_port=8082, timeout=3):
+    """One socket probe of the relay tunnel.  Returns None on success,
+    else the OSError."""
+    import socket
+
+    s = socket.socket()
+    s.settimeout(timeout)
+    try:
+        s.connect(("127.0.0.1", probe_port))
+        return None
+    except OSError as exc:
+        return exc
+    finally:
+        s.close()
+
+
 def _discover_tpu(jax, probe_port=8082, join_timeout=120):
     """True/False = device platform discovered; None = relay unusable.
 
     jax.devices() blocks in C (grpc connect/retry) when the axon tunnel
     is half-up, so a SIGALRM deadline cannot interrupt it — probe the
     tunnel socket first, then discover on a daemon thread with a join
-    timeout (docs/PLATFORM.md "Compile-service wedge + tunnel collapse")."""
-    import socket
+    timeout (docs/PLATFORM.md "Compile-service wedge + tunnel collapse").
+
+    A refused probe is retried every ~30 s for up to
+    SIFT4G_TPU_RELAY_WAIT seconds (default 600): tunnel outages observed
+    on this host are driver-managed and can recover mid-bench-window, and
+    one recovered probe turns the round's official record from the CPU
+    fallback into a real chip number (VERDICT r2 item 1)."""
     import threading
 
     if os.environ.get("JAX_PLATFORMS", "") not in ("", "axon"):
         return jax.devices()[0].platform != "cpu"
-    s = socket.socket()
-    s.settimeout(3)
-    try:
-        s.connect(("127.0.0.1", probe_port))
-    except OSError as exc:
-        print(f"relay probe failed ({exc}); native CPU DP", file=sys.stderr)
-        return None
-    finally:
-        s.close()
+    wait_budget = float(os.environ.get("SIFT4G_TPU_RELAY_WAIT", "600"))
+    deadline = time.monotonic() + wait_budget
+    attempt = 0
+    while True:
+        exc = _probe_relay(probe_port)
+        if exc is None:
+            break
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print(
+                f"relay probe failed ({exc}) after {attempt} attempts over "
+                f"{wait_budget:.0f}s; native CPU DP",
+                file=sys.stderr,
+            )
+            return None
+        print(
+            f"relay probe failed ({exc}); retrying for {remaining:.0f}s more",
+            file=sys.stderr,
+        )
+        time.sleep(min(30.0, remaining))
     result = {}
 
     def _discover():
@@ -219,12 +252,15 @@ def main():
     # bench window
     on_tpu = _discover_tpu(jax)
     if on_tpu is None:
+        # self-describing fallback record: the relay tunnel was down (or
+        # device discovery hung) for the whole retry window
         print(json.dumps({
             "metric": "sw_score_gcups[native-cpu]",
             "value": round(baseline, 3),
             "unit": "GCUPS",
             "vs_baseline": 1.0,
             "baseline_gcups": round(baseline, 3),
+            "relay": "down",
         }))
         sys.stdout.flush()
         # a wedged PJRT init thread would block normal exit
@@ -251,6 +287,7 @@ def main():
         "unit": "GCUPS",
         "vs_baseline": round(gcups / baseline, 2),
         "baseline_gcups": round(baseline, 3),
+        "relay": "up" if on_tpu else "cpu-platform",
     }
     if on_tpu and ROOFLINE_GCUPS:
         out["roofline_pct"] = round(100.0 * gcups / ROOFLINE_GCUPS, 1)
