@@ -270,11 +270,14 @@ def align_pairs_batch(
     targets: Sequence[np.ndarray],
     scorer: Scorer,
     mode: str = "SW",
+    threads: int = 0,
 ):
     """Score + traceback for one query vs many targets.
 
     Uses the threaded native aligner (native/aligner.cpp) when available,
-    else the NumPy oracle per pair.  Returns a list of AlignmentRecord.
+    else the NumPy oracle per pair.  ``threads`` mirrors the reference's
+    -t (main.cpp:188 feeds its pool size everywhere); 0 = hardware
+    concurrency.  Returns a list of AlignmentRecord.
     """
     from ..native import load as _load_native
     from .dp_numpy import align_pair
@@ -314,7 +317,8 @@ def align_pairs_batch(
         q.ctypes.data_as(u8p), q.shape[0],
         concat.ctypes.data_as(u8p), offsets.ctypes.data_as(i64p), n,
         matrix26.ctypes.data_as(i32p),
-        scorer.gap_open, scorer.gap_extend, _MODE_IDS[mode], 0,
+        scorer.gap_open, scorer.gap_extend, _MODE_IDS[mode],
+        max(int(threads), 0),
         score.ctypes.data_as(i32p), qs.ctypes.data_as(i32p),
         qe.ctypes.data_as(i32p), ts.ctypes.data_as(i32p),
         te.ctypes.data_as(i32p),
@@ -416,6 +420,7 @@ class BatchAligner:
         b_cap: int = 0,
         resident: "ResidentDB | None" = None,
         tail_policy: str = "",
+        threads: int = 0,
     ):
         if backend == "auto":
             from . import best_backend
@@ -427,6 +432,8 @@ class BatchAligner:
         self.batch = batch
         self.q_bucket = q_bucket
         self.t_bucket = t_bucket
+        # native-backend thread count (reference -t; 0 = hw concurrency)
+        self.threads = threads
         # optional grouped-batch width cap: tests bound interpret-mode work
         # with it (production leaves 0 = VMEM-budget policy only)
         self.b_cap = b_cap
@@ -560,7 +567,9 @@ class BatchAligner:
             # threaded linear-memory C++ DP (no traceback matrices) — the
             # fast CPU-only deployment path
             res = [
-                score_pairs_batch(q, t, self.scorer, self.mode)
+                score_pairs_batch(
+                    q, t, self.scorer, self.mode, threads=self.threads
+                )
                 for q, t in items
             ]
             return lambda: res

@@ -255,6 +255,7 @@ def run_pipeline_multihost(cfg, ctx: HostContext):
             log=log,
             metrics=metrics,
             record_range=(lo, hi),
+            threads=cfg.threads,
         )
         # winner merge: mirror of dbAlignmentsMerge
         # (database_alignment.cpp:97-104) across hosts

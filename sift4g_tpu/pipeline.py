@@ -119,6 +119,7 @@ def align_database(
     metrics: Optional[PhaseMetrics] = None,
     record_range=None,
     resident_db: str = "auto",
+    threads: int = 0,
 ) -> List[List[AlignmentRecord]]:
     """Returns per-query alignment records, best-first (score desc,
     database index asc on ties — deterministic refinement of the
@@ -137,7 +138,7 @@ def align_database(
     relay measured 0.03-1 GB/s, so shipping the same bytes repeatedly
     dominates many-query align phases)."""
     print("** Aligning queries with candidate sequences **", file=log)
-    aligner = BatchAligner(scorer, mode=mode, backend=backend)
+    aligner = BatchAligner(scorer, mode=mode, backend=backend, threads=threads)
 
     results: List[List[AlignmentRecord]] = [[] for _ in queries]
     remaining = [list(ix) for ix in indices]
@@ -230,7 +231,11 @@ def align_database(
                 keep = sorted(keep.tolist(), key=lambda i: (-int(scores[i]), used[i]))
                 keep = keep[:max_alignments]
                 recs = align_pairs_batch(
-                    query.codes, [store.codes(used[i]) for i in keep], scorer, mode
+                    query.codes,
+                    [store.codes(used[i]) for i in keep],
+                    scorer,
+                    mode,
+                    threads=threads,
                 )
                 for i, rec in zip(keep, recs):
                     rec.target_idx = used[i]
@@ -323,7 +328,10 @@ def _run_overlapped(
     from concurrent.futures import ThreadPoolExecutor
 
     log = cfg.log
-    aligner = BatchAligner(scorer, mode=cfg.algorithm, backend=cfg.align_backend)
+    aligner = BatchAligner(
+        scorer, mode=cfg.algorithm, backend=cfg.align_backend,
+        threads=cfg.threads,
+    )
     prov: List[dict] = [dict() for _ in queries]
     # Fetches go through the remote runtime with high latency variance
     # (seconds); resolving them inside the chunk callback stalls the
@@ -413,6 +421,7 @@ def _run_overlapped(
                 [cache.codes_at(int(ids[i])) for i in keep],
                 scorer,
                 cfg.algorithm,
+                threads=cfg.threads,
             )
             for i, rec in zip(keep, recs):
                 rec.target_idx = int(ids[i])
@@ -539,6 +548,7 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
             log=log,
             metrics=metrics,
             resident_db=cfg.resident_db,
+            threads=cfg.threads,
         )
 
     finish_pipeline(cfg, queries, records, metrics)

@@ -78,3 +78,61 @@ def test_native_score_batch_matches_oracle(mode, gaps):
         packed = PackedTargets(base, starts, lens)
         got_p = score_pairs_batch(q, packed, scorer, mode)
         np.testing.assert_array_equal(got_p, want, err_msg=f"{mode} {gaps} packed")
+
+
+class _RecordingLib:
+    """Delegating proxy that records the `threads` argument passed to the
+    native engines (arg 9 of sift4g_align_batch, arg 10 of
+    sift4g_score_batch — native/aligner.cpp:224,252)."""
+
+    def __init__(self, real):
+        self._real = real
+        self.align_threads = []
+        self.score_threads = []
+
+    def __getattr__(self, name):
+        real_fn = getattr(self._real, name)
+        if name == "sift4g_align_batch":
+            def wrapper(*args):
+                self.align_threads.append(int(args[9]))
+                return real_fn(*args)
+            return wrapper
+        if name == "sift4g_score_batch":
+            def wrapper(*args):
+                self.score_threads.append(int(args[10]))
+                return real_fn(*args)
+            return wrapper
+        return real_fn
+
+
+def test_configured_thread_count_reaches_native_engines(monkeypatch):
+    """-t must reach traceback AND scoring (reference honors -t everywhere
+    via its pool, main.cpp:188 + database_search.cpp:101-123) — and the
+    outputs must not depend on it (VERDICT r2 item 5)."""
+    from sift4g_tpu.align.batch import BatchAligner, align_pairs_batch as apb
+    import sift4g_tpu.native as native_mod
+
+    rng = np.random.default_rng(7)
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    q = rng.integers(0, 26, 60).astype(np.uint8)
+    targets = [rng.integers(0, 26, 80).astype(np.uint8) for _ in range(5)]
+
+    want_recs = apb(q, targets, scorer, "SW")
+
+    rec = _RecordingLib(lib)
+    monkeypatch.setattr(native_mod, "load", lambda: rec)
+
+    got_recs = apb(q, targets, scorer, "SW", threads=3)
+    assert rec.align_threads == [3]
+    for w, g in zip(want_recs, got_recs):
+        assert (w.score, w.query_start, w.target_end) == (
+            g.score, g.query_start, g.target_end
+        )
+        np.testing.assert_array_equal(w.moves, g.moves)
+
+    aligner = BatchAligner(scorer, mode="SW", backend="native", threads=2)
+    got = aligner.scores(q, targets)
+    assert rec.score_threads and all(t == 2 for t in rec.score_threads)
+    np.testing.assert_array_equal(
+        got, np.array([r.score for r in want_recs], dtype=np.int64)
+    )
