@@ -263,13 +263,37 @@ def align_database(
     return results
 
 
-def _overlap_cache(cfg: PipelineConfig):
+def _overlap_cache(cfg: PipelineConfig, n_queries: int = 1):
     """The parse-cache handle when the overlapped pipeline can run, else
     None.  Requirements: the native search engine (chunk callbacks), the
     .s4gc cache (mmap random access for the end-of-run traceback), and —
     under "auto" — an actual accelerator (on CPU the overlap is pure
-    extra work: provisionally scored candidates may be evicted later)."""
+    extra work: provisionally scored candidates may be evicted later).
+
+    Memory bound (VERDICT r2 item 7): the overlapped pipeline holds a
+    provisional score per LIVE candidate, so its floor is
+    n_queries * max_candidates dict entries (~100 B each).  When that
+    exceeds SIFT4G_TPU_OVERLAP_PROV_BUDGET entries (default 20M ~ 2 GB)
+    the overlap refuses — loudly under ``overlap=on`` — and the pipeline
+    falls back to the two-phase order, which streams candidates
+    chunk-by-chunk instead.  Accrual BEYOND the live set (admitted then
+    evicted ids) is bounded separately by snapshot compaction inside
+    _run_overlapped."""
     if cfg.overlap == "off":
+        return None
+    live_entries = n_queries * max(cfg.max_candidates, 1)
+    budget = int(
+        os.environ.get("SIFT4G_TPU_OVERLAP_PROV_BUDGET", str(20_000_000))
+    )
+    if live_entries > budget:
+        if cfg.overlap == "on":
+            print(
+                f"* WARNING: --overlap on refused: {n_queries} queries x "
+                f"{cfg.max_candidates} candidates = {live_entries} "
+                f"provisional entries exceeds the {budget}-entry budget "
+                f"(SIFT4G_TPU_OVERLAP_PROV_BUDGET); running two-phase *",
+                file=cfg.log,
+            )
         return None
     from . import native
     from .io.fasta import CachedFastaStream
@@ -352,6 +376,26 @@ def _run_overlapped(
             for t, s in zip(ids.tolist(), scores.tolist()):
                 d[t] = s
 
+    # Admitted-then-evicted ids accrue in prov across chunks; at many-query
+    # scale that can dwarf the live candidate set.  Compaction drops keys
+    # absent from the engine's snapshot — EXACT because each database
+    # record is scanned once and the admission floor is monotone (Q3), so
+    # an evicted id can never re-enter.  Runs on the single resolver
+    # worker: FIFO order guarantees it sees prov after exactly the
+    # resolves submitted before it (same snapshot chunk).
+    prov_live_cap = int(os.environ.get(
+        "SIFT4G_TPU_OVERLAP_COMPACT_CAP",
+        str(max(1_000_000, 2 * len(queries) * max(cfg.max_candidates, 1))),
+    ))
+
+    def _compact(ids_now):
+        if sum(len(d) for d in prov) <= prov_live_cap:
+            return
+        for qi, cur in enumerate(ids_now):
+            d = prov[qi]
+            if len(d) > cur.size:
+                prov[qi] = {int(t): d[int(t)] for t in cur}
+
     def on_chunk(codes, offsets, names, start_idx, snapshot):
         ids_now = snapshot()
         offs = np.asarray(offsets, dtype=np.int64)
@@ -374,11 +418,14 @@ def _run_overlapped(
             fetch = aligner.scores_many_async(items)
             metrics.add("align.dispatch", seconds=_time.perf_counter() - t0)
             resolves.append(resolver.submit(_resolve_one, fetch, meta))
+            # tracked like resolves so a compaction error propagates
+            resolves.append(resolver.submit(_compact, ids_now))
         # drain finished resolves (surfaces a dead-relay error at the next
         # chunk instead of hours later) and bound the in-flight backlog —
         # each pending resolve pins a chunk's device results, so block on
         # the oldest rather than queue without limit when fetches lag
-        while resolves and (resolves[0].done() or len(resolves) > 2):
+        # bound counts fetch AND compact futures (two per chunk)
+        while resolves and (resolves[0].done() or len(resolves) > 4):
             resolves.pop(0).result()
 
     try:
@@ -511,7 +558,7 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
         print("** EXITING! No valid queries to process. **", file=log)
         return []
 
-    cache = _overlap_cache(cfg)
+    cache = _overlap_cache(cfg, len(queries))
     if cache is not None:
         scorer = create_scorer(cfg.matrix, cfg.gap_open, cfg.gap_extend)
         records = _run_overlapped(cfg, queries, scorer, cache, metrics)

@@ -116,3 +116,61 @@ def test_overlap_auto_gates_on_core_count(tmp_path, monkeypatch):
     cfg.overlap = "on"
     got_on = P._overlap_cache(cfg)
     assert got_on is not None  # explicit on: no core or platform gate
+
+
+def test_overlap_refuses_at_many_query_scale(tmp_path):
+    """VERDICT r2 item 7: prov would need n_queries * max_candidates dict
+    entries; above the budget the overlap refuses LOUDLY under `on` and
+    the pipeline falls back to two-phase."""
+    import io
+
+    import sift4g_tpu.pipeline as P
+
+    log = io.StringIO()
+    cfg = PipelineConfig(
+        database_path="/nonexistent", overlap="on",
+        max_candidates=5000, log=log,
+    )
+    assert P._overlap_cache(cfg, n_queries=10_001) is None
+    assert "refused" in log.getvalue()
+    assert "SIFT4G_TPU_OVERLAP_PROV_BUDGET" in log.getvalue()
+
+    # auto refuses silently at the same scale
+    log2 = io.StringIO()
+    cfg2 = PipelineConfig(
+        database_path="/nonexistent", overlap="auto",
+        max_candidates=5000, log=log2,
+    )
+    assert P._overlap_cache(cfg2, n_queries=10_001) is None
+    assert log2.getvalue() == ""
+
+
+def test_overlap_compaction_is_exact(tmp_path, monkeypatch):
+    """Forcing snapshot compaction every chunk (cap=0) must not change a
+    single output byte: evicted ids never re-enter (Q3 monotone floor),
+    so pruning them is exact."""
+    q, db = _make_db(tmp_path, n_db=1200, seed=11)
+    outs = {}
+    for mode, cap in (("off", None), ("on", "0")):
+        out = tmp_path / f"compact_{mode}"
+        out.mkdir()
+        if cap is None:
+            monkeypatch.delenv("SIFT4G_TPU_OVERLAP_COMPACT_CAP", raising=False)
+        else:
+            monkeypatch.setenv("SIFT4G_TPU_OVERLAP_COMPACT_CAP", cap)
+        cfg = PipelineConfig(
+            query_path=q, database_path=db, out_path=str(out),
+            align_backend="numpy", sub_results=True,
+            max_candidates=30,               # cross-chunk evictions
+            search_chunk_bytes=30_000,       # many chunks
+            overlap=mode,
+            log=open(os.devnull, "w"),
+        )
+        run_pipeline(cfg)
+        outs[mode] = out
+    names = sorted(os.listdir(outs["off"]))
+    assert names and names == sorted(os.listdir(outs["on"]))
+    for name in names:
+        assert filecmp.cmp(
+            outs["off"] / name, outs["on"] / name, shallow=False
+        ), f"{name} differs with forced compaction"
