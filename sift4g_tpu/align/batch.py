@@ -457,8 +457,10 @@ class BatchAligner:
             )
         # grouped kernel implementation: "pallas" (Mosaic, production) or
         # "xla" (the exact portable twin — CPU-mesh tests use it because
-        # Mosaic interpret mode under shard_map is pathologically slow)
-        self.grouped_impl = "pallas"
+        # Mosaic interpret mode under shard_map is pathologically slow).
+        # backend="xla" rides the SAME grouped packing/launch policy with
+        # the xla twin (VERDICT r2 item 8: one launch-policy code path)
+        self.grouped_impl = "xla" if backend == "xla" else "pallas"
         self._matrix32 = None
         self._mesh = None
         self._sharded_fns = {}
@@ -490,20 +492,6 @@ class BatchAligner:
         while bw < count:
             bw *= 2
         return min(bw, bcap)
-
-    def _sharded_fn(self):
-        """Multi-device SPMD scorer (db-sharded), built once per aligner."""
-        if "fn" not in self._sharded_fns:
-            from ..parallel.sharded import make_sharded_scores
-
-            self._sharded_fns["fn"] = make_sharded_scores(
-                self._mesh,
-                mode=self.mode,
-                gap_open=self.scorer.gap_open,
-                gap_extend=self.scorer.gap_extend,
-                kernel="pallas" if self.backend == "pallas" else "xla",
-            )
-        return self._sharded_fns["fn"]
 
     def _sharded_xla_fn(self):
         """Db-sharded XLA-scan scorer: the mesh fallback for target/query
@@ -573,36 +561,11 @@ class BatchAligner:
                 for q, t in items
             ]
             return lambda: res
-        import jax.numpy as jnp
-
-        if self.backend == "pallas":
-            # single-chip AND multi-chip: the grouped packing/launch policy
-            # is identical; with a mesh each launch's group axis is sharded
-            # across devices (parallel/sharded.make_grouped_sharded)
-            return self._scores_pallas_grouped(items)
-
-        pending = []   # (item_idx, chunk_idx) per dispatched call
-        devs = []
-        for item_idx, (query_codes, targets) in enumerate(items):
-            if len(targets) == 0:
-                continue
-            for dev, chunk_idx in self._dispatch(query_codes, targets):
-                pending.append((item_idx, chunk_idx))
-                devs.append(dev)
-
-        def fetch() -> List[np.ndarray]:
-            out = [np.zeros(len(t), dtype=np.int64) for _, t in items]
-            if not devs:
-                return out
-            flat = np.asarray(jnp.concatenate(devs))       # single fetch
-            pos = 0
-            for (item_idx, chunk_idx), dev in zip(pending, devs):
-                n = dev.shape[0]
-                out[item_idx][chunk_idx] = flat[pos : pos + len(chunk_idx)]
-                pos += n
-            return out
-
-        return fetch
+        # single-chip AND multi-chip, pallas AND xla: one grouped
+        # packing/launch policy; with a mesh each launch's group axis is
+        # sharded across devices (parallel/sharded.make_grouped_sharded),
+        # and grouped_impl picks the kernel (Mosaic vs the exact XLA twin)
+        return self._scores_pallas_grouped(items)
 
     def _scores_pallas_grouped(self, items):
         """Pack every (query, target-bucket) pair into grid-of-groups Pallas
@@ -1051,68 +1014,3 @@ class BatchAligner:
 
         return fetch
 
-    def _dispatch(self, query_codes: np.ndarray, targets: Sequence[np.ndarray]):
-        """Async per-bucket kernel dispatches; yields (device_scores, idx)."""
-        import jax.numpy as jnp
-
-        from .xla import align_scores_kernel
-
-        if self._mesh is not None:
-            from ..parallel.sharded import shard_batch
-
-            sharded = self._sharded_fn()
-
-            def pick_kernel(n_pad):
-                def run(q_dev, qlen, tc, tl, m32, **_):
-                    t_dev, l_dev = shard_batch(self._mesh, tc, tl)
-                    return sharded(q_dev, qlen, t_dev, l_dev, m32)
-
-                return run
-        elif self.backend == "pallas":
-            from .pallas_sw import sw_scores_pallas
-
-            # planes are (26, B, N) int8 in VMEM: keep them <= 8 MB and
-            # fall back to the XLA scan for very long target buckets
-            def pick_kernel(n_pad):
-                if self.batch * n_pad * 32 <= 8 * 1024 * 1024:
-                    return sw_scores_pallas
-                return align_scores_kernel
-        else:
-            def pick_kernel(n_pad):
-                return align_scores_kernel
-
-        m = query_codes.shape[0]
-        m_pad = _round_up(max(m, 1), self.q_bucket)
-        q = np.full(m_pad, PAD_CODE, dtype=np.int32)
-        q[:m] = query_codes
-
-        # group targets into length buckets to bound padding waste
-        order = np.argsort([t.shape[0] for t in targets], kind="stable")
-        matrix32 = self._matrix32_dev()
-        q_dev = jnp.asarray(q)
-
-        calls = []
-        pos = 0
-        while pos < len(order):
-            chunk_idx = order[pos : pos + self.batch]
-            chunk = [targets[i] for i in chunk_idx]
-            n_max = max(t.shape[0] for t in chunk)
-            n_pad = _round_up(max(n_max, 1), self.t_bucket)
-            tc = np.full((self.batch, n_pad), PAD_CODE, dtype=np.int32)
-            tl = np.zeros(self.batch, dtype=np.int32)
-            for r, t in enumerate(chunk):
-                tc[r, : t.shape[0]] = t
-                tl[r] = t.shape[0]
-            scores = pick_kernel(n_pad)(
-                q_dev,
-                jnp.int32(m),
-                jnp.asarray(tc),
-                jnp.asarray(tl),
-                matrix32,
-                mode=self.mode,
-                gap_open=self.scorer.gap_open,
-                gap_extend=self.scorer.gap_extend,
-            )
-            calls.append((scores, chunk_idx))
-            pos += self.batch
-        return calls

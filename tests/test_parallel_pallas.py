@@ -129,9 +129,9 @@ def _mixed_items(rng, n_queries=5, max_tlen=700):
     return items
 
 
-def _aligner(scorer, mesh=True, **kw):
+def _aligner(scorer, mesh=True, backend="pallas", **kw):
     kw.setdefault("b_cap", 32)
-    al = BatchAligner(scorer, backend="pallas", **kw)
+    al = BatchAligner(scorer, backend=backend, **kw)
     al.grouped_impl = "xla"
     if not mesh:
         al._mesh = None
@@ -174,9 +174,11 @@ def test_sharded_long_targets_fall_back_safely():
     np.testing.assert_array_equal(got, ref)
 
 
-def test_sharded_launches_scale_with_buckets_not_queries():
-    """VERDICT r1 item 1c: kernel launches scale with (rung bucket, G_CHUNK)
-    chunks, never with queries x buckets."""
+@pytest.mark.parametrize("backend", ["pallas", "xla"])
+def test_sharded_launches_scale_with_buckets_not_queries(backend):
+    """VERDICT r1 item 1c (+ r2 item 8): kernel launches scale with
+    (rung bucket, G_CHUNK) chunks, never with queries x buckets — for
+    BOTH backends, which now share one grouped launch-policy path."""
     rng = np.random.default_rng(7)
     scorer = create_scorer("BLOSUM_62", 10, 1)
     items = []
@@ -185,9 +187,12 @@ def test_sharded_launches_scale_with_buckets_not_queries():
         targets = [rng.integers(0, 26, 100).astype(np.uint8) for _ in range(3)]
         targets += [rng.integers(0, 26, 500).astype(np.uint8) for _ in range(3)]
         items.append((q, targets))
-    al = _aligner(scorer)
+    al = _aligner(scorer, backend=backend)
     assert al._mesh is not None
-    al.scores_many(items)
+    got = al.scores_many(items)
     assert al.launches == 2, (
         f"expected one launch per (rung, G_CHUNK) bucket chunk, got {al.launches}"
     )
+    ref = BatchAligner(scorer, backend="numpy").scores_many(items)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(g, r)
