@@ -110,10 +110,18 @@ class ResidentDB:
         slots = np.maximum((lens + SLOT - 1) // SLOT, 1)
         return int(slots.sum()) * SLOT
 
-    def __init__(self, host_codes: np.ndarray, offsets: np.ndarray):
+    def __init__(self, host_codes: np.ndarray, offsets: np.ndarray,
+                 mesh=None):
         import jax
 
         from .. import native
+
+        # under a mesh the segment arrays are REPLICATED across devices
+        # (each device holds the full segment — the reference gives every
+        # card the whole filtered chain database too,
+        # database_alignment.cpp:80-81); without one they commit to the
+        # default device as before
+        self.mesh = mesh
 
         n_seq = offsets.shape[0] - 1
         lens = np.diff(offsets).astype(np.int64)
@@ -183,7 +191,12 @@ class ResidentDB:
                 view = np.concatenate(
                     [view, np.zeros(size - view.shape[0], dtype=np.uint8)]
                 )
-            self.dev.append(jax.device_put(view))
+            if mesh is not None:
+                from ..parallel.sharded import replicate_to_mesh
+
+                self.dev.append(replicate_to_mesh(mesh, view))
+            else:
+                self.dev.append(jax.device_put(view))
 
     def seg_of_starts(self, starts: np.ndarray) -> np.ndarray:
         """Segment index for each GLOBAL slot offset."""
@@ -205,33 +218,39 @@ _RESIDENT_CACHE: dict = {}
 _COMPILED_SHAPES: set = set()
 
 
-def _resident_key(host_codes: np.ndarray, offsets: np.ndarray):
+def _resident_key(host_codes: np.ndarray, offsets: np.ndarray, mesh=None):
     # backing file + record span: a multi-host shard of the same file is
-    # a DIFFERENT resident layout (shard-local slot offsets)
+    # a DIFFERENT resident layout (shard-local slot offsets).  The mesh is
+    # part of the identity: a replicated upload differs from a
+    # single-device one
     return (getattr(host_codes, "filename", None)
             or getattr(getattr(host_codes, "base", None), "filename", None)
             or id(host_codes),
             int(host_codes.shape[0]),
             int(offsets.shape[0]),
             int(offsets[0]) if offsets.shape[0] else 0,
-            int(offsets[-1]) if offsets.shape[0] else 0)
+            int(offsets[-1]) if offsets.shape[0] else 0,
+            None if mesh is None else tuple(d.id for d in mesh.devices.flat))
 
 
-def resident_db_cached(host_codes: np.ndarray, offsets: np.ndarray) -> bool:
+def resident_db_cached(host_codes: np.ndarray, offsets: np.ndarray,
+                       mesh=None) -> bool:
     """True when the live ResidentDB already holds this database slice
     (its upload cost is sunk — serve-daemon jobs and warm repeats)."""
-    return _RESIDENT_CACHE.get("key") == _resident_key(host_codes, offsets)
+    return _RESIDENT_CACHE.get("key") == _resident_key(host_codes, offsets, mesh)
 
 
-def get_resident_db(host_codes: np.ndarray, offsets: np.ndarray) -> ResidentDB:
+def get_resident_db(host_codes: np.ndarray, offsets: np.ndarray,
+                    mesh=None) -> ResidentDB:
     """One live ResidentDB at a time, keyed by (backing file, record
-    span) so serve-daemon jobs on the same database reuse the upload."""
-    key = _resident_key(host_codes, offsets)
+    span, mesh) so serve-daemon jobs on the same database reuse the
+    upload."""
+    key = _resident_key(host_codes, offsets, mesh)
     if _RESIDENT_CACHE.get("key") != key:
         _RESIDENT_CACHE.clear()
-        db = ResidentDB(host_codes, offsets)  # key set only on success: a
-        # failed build must not poison the cache (resident_db_cached would
-        # report a live upload forever)
+        db = ResidentDB(host_codes, offsets, mesh)  # key set only on
+        # success: a failed build must not poison the cache
+        # (resident_db_cached would report a live upload forever)
         _RESIDENT_CACHE["key"] = key
         _RESIDENT_CACHE["db"] = db
     return _RESIDENT_CACHE["db"]
@@ -768,11 +787,10 @@ class BatchAligner:
         # constructs them that way) — the launch then ships (G, B) int32
         # offset/length arrays instead of a (G, B, N) byte slab
         def _part_resident(part):
-            if (
-                self.resident is None
-                or self._mesh is not None
-                or self.grouped_impl != "pallas"
-            ):
+            # serves single-device AND mesh (group-axis-sharded offsets,
+            # replicated segment — parallel/sharded
+            # make_grouped_resident_sharded), pallas AND the xla twin
+            if self.resident is None:
                 return False
             return all(
                 isinstance(items[ii][1], PackedTargets)
@@ -893,22 +911,42 @@ class BatchAligner:
             (q_local, go, gl, tg, tl), max_qlen, B, part = entry
             self.launches += 1
             if tl is None:  # resident entry: tg = (t_starts, t_lens, n_pad, seg)
-                from .pallas_sw import sw_scores_pallas_grouped_resident
-
                 ts_r, tl_r, n_pad_r, seg_r = tg
-                dev = sw_scores_pallas_grouped_resident(
-                    jnp.asarray(q_local),
-                    jnp.asarray(go),
-                    jnp.asarray(gl),
-                    self.resident.dev[seg_r],
-                    jnp.asarray(ts_r),
-                    jnp.asarray(tl_r),
-                    matrix32,
-                    n_pad_r,
+                common = dict(
                     mode=self.mode,
                     gap_open=self.scorer.gap_open,
                     gap_extend=self.scorer.gap_extend,
                 )
+                if self._mesh is not None:
+                    from ..parallel.sharded import make_grouped_resident_sharded
+
+                    fn = make_grouped_resident_sharded(
+                        self._mesh, n_pad=n_pad_r,
+                        kernel=self.grouped_impl, **common,
+                    )
+                    dev = fn(
+                        jnp.asarray(q_local), jnp.asarray(go), jnp.asarray(gl),
+                        self.resident.dev[seg_r],
+                        jnp.asarray(ts_r), jnp.asarray(tl_r), matrix32,
+                    )
+                elif self.grouped_impl == "xla":
+                    from .xla import align_scores_grouped_resident
+
+                    dev = align_scores_grouped_resident(
+                        jnp.asarray(q_local), jnp.asarray(go), jnp.asarray(gl),
+                        self.resident.dev[seg_r],
+                        jnp.asarray(ts_r), jnp.asarray(tl_r), matrix32,
+                        n_pad_r, **common,
+                    )
+                else:
+                    from .pallas_sw import sw_scores_pallas_grouped_resident
+
+                    dev = sw_scores_pallas_grouped_resident(
+                        jnp.asarray(q_local), jnp.asarray(go), jnp.asarray(gl),
+                        self.resident.dev[seg_r],
+                        jnp.asarray(ts_r), jnp.asarray(tl_r), matrix32,
+                        n_pad_r, **common,
+                    )
                 return dev, B, part
             if self._mesh is not None:
                 from ..parallel.sharded import make_grouped_sharded
@@ -965,7 +1003,8 @@ class BatchAligner:
             if tl is None:
                 ts_r, _tl_r, n_pad_r, seg_r = tg
                 return ("res", q_local.shape[0], go.shape[0], B, n_pad_r,
-                        int(self.resident.dev[seg_r].shape[0])) + stat
+                        int(self.resident.dev[seg_r].shape[0]),
+                        self.grouped_impl, self._mesh is not None) + stat
             return ("grp", q_local.shape[0], go.shape[0], B, tg.shape[2],
                     max_qlen, int(self.scorer.matrix.max()),
                     self.grouped_impl, self._mesh is not None) + stat

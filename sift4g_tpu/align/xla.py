@@ -206,3 +206,42 @@ def align_scores_grouped(
 align_scores_grouped_kernel = partial(
     jax.jit, static_argnames=("mode", "gap_open", "gap_extend", "m_window")
 )(align_scores_grouped)
+
+
+def align_scores_grouped_resident(
+    q_codes_all: jnp.ndarray,   # (Qm,) int32 concatenated padded queries
+    q_offsets: jnp.ndarray,     # (G,) int32
+    q_lens: jnp.ndarray,        # (G,) int32
+    db_flat: jnp.ndarray,       # (R,) uint8 resident codes, >= n_pad tail
+    t_starts: jnp.ndarray,      # (G, B) int32 SLOT-ALIGNED byte offsets
+    target_lens: jnp.ndarray,   # (G, B) int32
+    matrix32: jnp.ndarray,      # (32, 32) int32
+    n_pad: int = 512,           # static target window (the length rung)
+    *,
+    mode: str = "SW",
+    gap_open: int = 10,
+    gap_extend: int = 1,
+    m_window: int = 0,
+) -> jnp.ndarray:
+    """Portable twin of ``sw_scores_pallas_grouped_resident``: materializes
+    each (group, row) target window from the resident flat array with a
+    dynamic slice, then scores through the exact grouped XLA twin.  Same
+    offset contract as the Mosaic kernel (1024-byte slot grain; unaligned
+    values round down); garbage past a row's length is masked by the
+    length-bounded extraction, exactly like the kernel's DMA tails.
+    Serves CPU-mesh byte-equality tests and the backend="xla" resident
+    path; on TPU the Mosaic kernel is the production route (per-row
+    slices lower to gathers, docs/PLATFORM.md)."""
+    starts = (t_starts.astype(jnp.int32) // 1024 * 1024).reshape(-1)
+
+    def row(off):
+        return jax.lax.dynamic_slice(db_flat, (off,), (n_pad,))
+
+    G, B = t_starts.shape
+    tg = jax.vmap(row)(starts).reshape(G, B, n_pad)
+    return align_scores_grouped(
+        q_codes_all, q_offsets, q_lens,
+        tg.astype(jnp.int32), target_lens, matrix32,
+        mode=mode, gap_open=gap_open, gap_extend=gap_extend,
+        m_window=m_window,
+    )

@@ -243,6 +243,69 @@ def make_grouped_long_sharded(
     return _GROUPED_CACHE[key]
 
 
+def make_grouped_resident_sharded(
+    mesh: Mesh,
+    *,
+    mode: str = "SW",
+    gap_open: int = 10,
+    gap_extend: int = 1,
+    n_pad: int = 512,
+    kernel: str = "pallas",
+    axis: str = DB_AXIS,
+):
+    """HBM-resident grouped scorer under shard_map, sharded over the GROUP
+    axis (VERDICT r2 item 2).  The resident segment array is REPLICATED
+    across the mesh — each device holds the full slotted segment (<= 1.875
+    GiB per segment on a 16 GB chip), mirroring the reference's per-card
+    resident chains (database_alignment.cpp:80-81: every card receives the
+    whole filtered chain database).  Launches ship only the (G, B)
+    offset/length arrays, sharded like the slab path's group axis, so the
+    many-query transfer win survives the mesh.
+
+    ``kernel="xla"`` substitutes the offset-materializing portable twin
+    (align/xla.py align_scores_grouped_resident) — the CPU-mesh test
+    backend, exact to the bit.
+
+    fn(q (Qm,) i32, go (G,) i32 sharded, gl (G,) i32 sharded,
+       db_flat (R,) u8 replicated, t_starts (G, B) i32 sharded,
+       target_lens (G, B) i32 sharded, matrix32) -> (G, B) i32 sharded
+    """
+    key = ("grouped_res", mesh, mode, gap_open, gap_extend, n_pad, kernel, axis)
+    if key not in _GROUPED_CACHE:
+        if kernel == "pallas":
+            from ..align.pallas_sw import sw_scores_pallas_grouped_resident
+
+            def local_step(q, go, gl, db_flat, ts, tl, m32):
+                return sw_scores_pallas_grouped_resident(
+                    q, go, gl, db_flat, ts, tl, m32, n_pad,
+                    mode=mode, gap_open=gap_open, gap_extend=gap_extend,
+                )
+        else:
+            from ..align.xla import align_scores_grouped_resident
+
+            def local_step(q, go, gl, db_flat, ts, tl, m32):
+                return align_scores_grouped_resident(
+                    q, go, gl, db_flat, ts, tl, m32, n_pad,
+                    mode=mode, gap_open=gap_open, gap_extend=gap_extend,
+                )
+
+        fn = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(), P(axis, None), P(axis, None), P()),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+        _GROUPED_CACHE[key] = jax.jit(fn)
+    return _GROUPED_CACHE[key]
+
+
+def replicate_to_mesh(mesh: Mesh, arr):
+    """Place a host array on every device of the mesh (fully replicated
+    NamedSharding) — the resident segment upload under a mesh."""
+    return jax.device_put(arr, NamedSharding(mesh, P()))
+
+
 def make_2d_mesh(n_devices: Optional[int] = None, q_axis: str = "q", axis: str = DB_AXIS) -> Mesh:
     """2-D mesh: data-parallel query axis x database-shard axis.
 

@@ -486,11 +486,13 @@ def _maybe_resident_db(fs, indices, aligner, mode_flag: str, log,
     database is slot-packed and uploaded (each host holds its own shard;
     candidate ids stay global — the caller translates by the shard base).
 
-    Requirements (any miss -> None, slab path): the pallas grouped path on
-    a single device, the parse cache (absolute offsets + mmap codes), and
-    a slot-packed size inside the HBM budget (ResidentDB segments the
-    buffer internally, so int32 offsets impose no size limit).  Under
-    "auto" additionally:
+    Requirements (any miss -> None, slab path): the grouped launch path
+    (backend pallas; single-device or mesh — under a mesh the segments
+    replicate across devices and launches shard the group axis,
+    parallel/sharded.make_grouped_resident_sharded), the parse cache
+    (absolute offsets + mmap codes), and a slot-packed size inside the
+    HBM budget (ResidentDB segments the buffer internally, so int32
+    offsets impose no size limit).  Under "auto" additionally:
     a real accelerator, and total candidate bytes exceeding the slotted
     size (the one-time upload must beat the slab traffic it replaces)."""
     from .align.batch import ResidentDB, get_resident_db
@@ -498,9 +500,7 @@ def _maybe_resident_db(fs, indices, aligner, mode_flag: str, log,
 
     if not isinstance(fs, CachedFastaStream):
         return None
-    if aligner.backend != "pallas" or aligner._mesh is not None:
-        return None
-    if aligner.grouped_impl != "pallas":
+    if aligner.backend != "pallas":
         return None
     rr_lo = record_range[0] if record_range else 0
     offsets = fs._offsets
@@ -523,7 +523,7 @@ def _maybe_resident_db(fs, indices, aligner, mode_flag: str, log,
             return None
         # a live upload is sunk cost (serve-daemon jobs, warm repeats):
         # reuse it regardless of this job's candidate volume
-        if not resident_db_cached(fs._codes, offsets):
+        if not resident_db_cached(fs._codes, offsets, aligner._mesh):
             cand_bytes = 0
             for ix in indices:
                 ix = np.asarray(ix, dtype=np.int64) - rr_lo  # shard-local
@@ -532,7 +532,7 @@ def _maybe_resident_db(fs, indices, aligner, mode_flag: str, log,
             if cand_bytes <= slotted:
                 return None
     try:
-        rdb = get_resident_db(fs._codes, offsets)
+        rdb = get_resident_db(fs._codes, offsets, aligner._mesh)
     except Exception as exc:  # upload failure: keep the slab path
         print(f"* resident database unavailable ({exc}) *", file=log)
         return None
