@@ -256,6 +256,66 @@ def get_resident_db(host_codes: np.ndarray, offsets: np.ndarray,
     return _RESIDENT_CACHE["db"]
 
 
+_GROUPED_SINGLE_CACHE: dict = {}
+
+
+def _grouped_single_fn(impl, resident_npad, screen_k, *, mode, gap_open,
+                       gap_extend, max_qlen, max_sub):
+    """Cached jitted single-device grouped scorer WITH fused device-side
+    E-value screening (align/xla.py screen_topk_words) — one dispatch per
+    launch (a separate screening op would double the ~30 ms launch tax).
+    ``resident_npad`` > 0 selects the HBM-resident kernels."""
+    key = (impl, resident_npad, screen_k, mode, gap_open, gap_extend,
+           max_qlen, max_sub)
+    if key not in _GROUPED_SINGLE_CACHE:
+        import jax
+
+        from .pallas_sw import (
+            sw_scores_pallas_grouped,
+            sw_scores_pallas_grouped_resident,
+        )
+        from .xla import (
+            align_scores_grouped,
+            align_scores_grouped_resident,
+            screen_topk_words,
+        )
+
+        if resident_npad:
+            if impl == "xla":
+                def base(q, go, gl, db, ts, tl, m32):
+                    return align_scores_grouped_resident(
+                        q, go, gl, db, ts, tl, m32, resident_npad,
+                        mode=mode, gap_open=gap_open, gap_extend=gap_extend,
+                    )
+            else:
+                def base(q, go, gl, db, ts, tl, m32):
+                    return sw_scores_pallas_grouped_resident(
+                        q, go, gl, db, ts, tl, m32, resident_npad,
+                        mode=mode, gap_open=gap_open, gap_extend=gap_extend,
+                    )
+        elif impl == "xla":
+            def base(q, go, gl, tg, tl, m32):
+                return align_scores_grouped(
+                    q, go, gl, tg, tl, m32,
+                    mode=mode, gap_open=gap_open, gap_extend=gap_extend,
+                    m_window=max_qlen,
+                )
+        else:
+            def base(q, go, gl, tg, tl, m32):
+                return sw_scores_pallas_grouped(
+                    q, go, gl, tg, tl, m32,
+                    mode=mode, gap_open=gap_open, gap_extend=gap_extend,
+                    max_qlen=max_qlen, max_sub=max_sub,
+                )
+
+        def fn(*args):
+            *a, smin = args
+            return screen_topk_words(base(*a), smin, screen_k)
+
+        _GROUPED_SINGLE_CACHE[key] = jax.jit(fn)
+    return _GROUPED_SINGLE_CACHE[key]
+
+
 def _length_rungs_vec(lens: np.ndarray, base: int) -> np.ndarray:
     """Vectorized _length_rung over an int array (exact next-pow2 via
     frexp: no float-log rounding hazards)."""
@@ -551,7 +611,7 @@ class BatchAligner:
     def scores_many(self, items) -> List[np.ndarray]:
         return self.scores_many_async(items)()
 
-    def scores_many_async(self, items):
+    def scores_many_async(self, items, screen=None):
         """Dispatch scoring for many (query_codes, targets) pairs; returns a
         zero-arg fetch closure producing List[np.ndarray].
 
@@ -560,6 +620,18 @@ class BatchAligner:
         remote-attached TPU runtimes a synchronous fetch costs ~30 ms of
         pure RPC latency (measured), and the split lets the caller overlap
         host work (IO, packing) with device scoring.
+
+        ``screen=(smins, k)`` opts into device-side exact E-value
+        screening (VERDICT r2 item 3): ``smins[i]`` is item i's integer
+        passing-score threshold (core.evalue.min_passing_score) and ``k``
+        the per-query alignment cap; screened launches fetch (G, k)
+        survivor words instead of (G, B) scores (align/xla.py
+        screen_topk_words).  Non-survivor slots come back as 0 in the
+        dense result arrays — exact for callers that filter by
+        ``score >= smins[i]``, which by construction equals the
+        ``evalues(score) <= max_evalue`` set.  Backends/paths without
+        screening support simply return full scores (also exact under
+        the same filter).
         """
         if self.backend == "numpy":
             res = [
@@ -584,9 +656,9 @@ class BatchAligner:
         # packing/launch policy; with a mesh each launch's group axis is
         # sharded across devices (parallel/sharded.make_grouped_sharded),
         # and grouped_impl picks the kernel (Mosaic vs the exact XLA twin)
-        return self._scores_pallas_grouped(items)
+        return self._scores_pallas_grouped(items, screen)
 
-    def _scores_pallas_grouped(self, items):
+    def _scores_pallas_grouped(self, items, screen=None):
         """Pack every (query, target-bucket) pair into grid-of-groups Pallas
         calls — one launch per target-length bucket instead of one per pair.
         Returns a zero-arg fetch closure (see scores_many_async).
@@ -598,7 +670,7 @@ class BatchAligner:
         import jax.numpy as jnp
 
         from .pallas_sw import sw_scores_pallas_grouped
-        from .xla import align_scores_kernel
+        from .xla import align_scores_kernel, decode_screen_words
 
         out = [np.zeros(len(t), dtype=np.int64) for _, t in items]
         n_dev = 1 if self._mesh is None else int(self._mesh.devices.size)
@@ -625,6 +697,23 @@ class BatchAligner:
             qa[:m] = query_codes
             q_chunks.append(qa)
             q_lens.append(m)
+
+        # device-side E-value screening gate: every item needs a valid
+        # integer threshold (>= 1, so padded rows never survive) and the
+        # largest possible score must fit the 19-bit word field
+        from .xla import SCREEN_MAX_SCORE
+
+        scr_k, smins = 0, None
+        if screen is not None:
+            smins, scr_k = screen
+            max_sub_scr = int(self.scorer.matrix.max())
+            if (
+                scr_k < 1
+                or len(smins) != len(items)
+                or any(s is None or s < 1 for s in smins)
+                or (q_lens and max(q_lens) * max_sub_scr > SCREEN_MAX_SCORE)
+            ):
+                scr_k, smins = 0, None
 
         # bucket every target by its padded length (and, for resident-backed
         # targets, by HBM segment — a launch reads one segment), then chunk
@@ -737,7 +826,7 @@ class BatchAligner:
                         jnp.asarray(tg), jnp.asarray(tl), matrix32,
                     )
                     self.launches += 1
-                    devs.append((dev, b, [(item_idx, sub)]))
+                    devs.append((dev, b, [(item_idx, sub)], 0))
                 continue
             # extreme query lengths: portable XLA scan
             tc = np.full((b, n_pad), PAD_CODE, dtype=np.int32)
@@ -767,7 +856,7 @@ class BatchAligner:
                     gap_extend=self.scorer.gap_extend,
                 )
             self.launches += 1
-            devs.append((dev.reshape(1, b), b, [(item_idx, chunk_idx)]))
+            devs.append((dev.reshape(1, b), b, [(item_idx, chunk_idx)], 0))
         # two fixed grid sizes per bucket shape (small jobs avoid padding a
         # 64-group launch; big jobs amortize the ~30 ms launch RPC over 64
         # groups = 12 G cells); trailing dummy groups (qlen 0) skip their
@@ -797,6 +886,16 @@ class BatchAligner:
                 and items[ii][1].codes is self.resident.host_slotted
                 for ii, _ in part
             )
+
+        def _smin_for(part, G_CHUNK):
+            """(G_CHUNK,) int32 per-group screening thresholds; dummy
+            trailing groups get INT32_MAX so nothing survives there."""
+            if not scr_k:
+                return None
+            arr = np.full(G_CHUNK, np.iinfo(np.int32).max, dtype=np.int32)
+            for gi, (item_idx, _) in enumerate(part):
+                arr[gi] = smins[item_idx]
+            return arr
 
         launch_args = []
         for (n_pad, B, seg), groups in sorted(buckets.items()):
@@ -833,7 +932,8 @@ class BatchAligner:
                     if local_parts:
                         q_local[:off] = np.concatenate(local_parts)
                     launch_args.append(
-                        ((q_local, go, gl, (ts, tl, n_pad, seg), None), 0, B, part)
+                        ((q_local, go, gl, (ts, tl, n_pad, seg), None), 0, B,
+                         part, _smin_for(part, G_CHUNK))
                     )
                     continue
                 if native_lib is not None:
@@ -901,15 +1001,18 @@ class BatchAligner:
                     max((q_lens[ii] for ii, _ in part), default=1), self.q_bucket
                 )
                 launch_args.append(
-                    ((q_local, go, gl, tg, tl), max_qlen, B, part)
+                    ((q_local, go, gl, tg, tl), max_qlen, B, part,
+                     _smin_for(part, G_CHUNK))
                 )
 
         # dispatch launches from a small thread pool: the per-call dispatch
         # RPC blocks ~100+ ms through the remote runtime but releases the
         # GIL, so concurrent dispatches overlap (~10% measured)
         def _launch(entry):
-            (q_local, go, gl, tg, tl), max_qlen, B, part = entry
+            (q_local, go, gl, tg, tl), max_qlen, B, part, smin = entry
             self.launches += 1
+            k_eff = min(B, scr_k) if smin is not None else 0
+            scr = (jnp.asarray(smin), k_eff) if k_eff else None
             if tl is None:  # resident entry: tg = (t_starts, t_lens, n_pad, seg)
                 ts_r, tl_r, n_pad_r, seg_r = tg
                 common = dict(
@@ -922,12 +1025,24 @@ class BatchAligner:
 
                     fn = make_grouped_resident_sharded(
                         self._mesh, n_pad=n_pad_r,
-                        kernel=self.grouped_impl, **common,
+                        kernel=self.grouped_impl, screen_k=k_eff, **common,
+                    )
+                    args = (
+                        jnp.asarray(q_local), jnp.asarray(go), jnp.asarray(gl),
+                        self.resident.dev[seg_r],
+                        jnp.asarray(ts_r), jnp.asarray(tl_r), matrix32,
+                    )
+                    dev = fn(*args, scr[0]) if scr else fn(*args)
+                elif k_eff:
+                    fn = _grouped_single_fn(
+                        self.grouped_impl, n_pad_r, k_eff,
+                        max_qlen=0, max_sub=0, **common,
                     )
                     dev = fn(
                         jnp.asarray(q_local), jnp.asarray(go), jnp.asarray(gl),
                         self.resident.dev[seg_r],
                         jnp.asarray(ts_r), jnp.asarray(tl_r), matrix32,
+                        scr[0],
                     )
                 elif self.grouped_impl == "xla":
                     from .xla import align_scores_grouped_resident
@@ -947,7 +1062,7 @@ class BatchAligner:
                         jnp.asarray(ts_r), jnp.asarray(tl_r), matrix32,
                         n_pad_r, **common,
                     )
-                return dev, B, part
+                return dev, B, part, k_eff
             if self._mesh is not None:
                 from ..parallel.sharded import make_grouped_sharded
 
@@ -959,10 +1074,25 @@ class BatchAligner:
                     max_qlen=max_qlen,
                     max_sub=int(self.scorer.matrix.max()),
                     kernel=self.grouped_impl,
+                    screen_k=k_eff,
+                )
+                args = (
+                    jnp.asarray(q_local), jnp.asarray(go), jnp.asarray(gl),
+                    tg, tl, matrix32,
+                )
+                dev = fn(*args, scr[0]) if scr else fn(*args)
+            elif k_eff:
+                fn = _grouped_single_fn(
+                    self.grouped_impl, 0, k_eff,
+                    mode=self.mode,
+                    gap_open=self.scorer.gap_open,
+                    gap_extend=self.scorer.gap_extend,
+                    max_qlen=max_qlen,
+                    max_sub=int(self.scorer.matrix.max()),
                 )
                 dev = fn(
                     jnp.asarray(q_local), jnp.asarray(go), jnp.asarray(gl),
-                    tg, tl, matrix32,
+                    jnp.asarray(tg), jnp.asarray(tl), matrix32, scr[0],
                 )
             elif self.grouped_impl == "xla":
                 from .xla import align_scores_grouped_kernel
@@ -989,7 +1119,7 @@ class BatchAligner:
                     max_qlen=max_qlen,
                     max_sub=int(self.scorer.matrix.max()),
                 )
-            return dev, B, part
+            return dev, B, part, k_eff
 
         import jax
 
@@ -998,8 +1128,9 @@ class BatchAligner:
             # minutes-long Mosaic compile through the remote service.
             # Every jit-STATIC argument belongs here — mode/gaps/max_sub
             # vary across serve-daemon jobs with the same array shapes
-            (q_local, go, gl, tg, tl), max_qlen, B, _ = entry
-            stat = (self.mode, self.scorer.gap_open, self.scorer.gap_extend)
+            (q_local, go, gl, tg, tl), max_qlen, B, _, smin = entry
+            stat = (self.mode, self.scorer.gap_open, self.scorer.gap_extend,
+                    min(B, scr_k) if smin is not None else 0)
             if tl is None:
                 ts_r, _tl_r, n_pad_r, seg_r = tg
                 return ("res", q_local.shape[0], go.shape[0], B, n_pad_r,
@@ -1041,14 +1172,24 @@ class BatchAligner:
         def fetch() -> List[np.ndarray]:
             if not devs:
                 return out
-            flat = np.asarray(jnp.concatenate([d.reshape(-1) for d, _, _ in devs]))
+            flat = np.asarray(
+                jnp.concatenate([d.reshape(-1) for d, _, _, _ in devs])
+            )
             pos = 0
-            for dev, b, groups in devs:
+            for dev, b, groups, k_eff in devs:
                 g_pad = dev.shape[0]
+                w = k_eff if k_eff else b
                 for gi, (item_idx, chunk_idx) in enumerate(groups):
-                    seg = flat[pos + gi * b : pos + gi * b + len(chunk_idx)]
-                    out[item_idx][chunk_idx] = seg
-                pos += g_pad * b
+                    seg = flat[pos + gi * w : pos + (gi + 1) * w]
+                    if k_eff:
+                        # screened launch: decode survivor words; every
+                        # other slot keeps the 0 placeholder (exact under
+                        # the caller's score >= smin filter)
+                        rows, sc = decode_screen_words(seg, b)
+                        out[item_idx][chunk_idx[rows]] = sc
+                    else:
+                        out[item_idx][chunk_idx] = seg[: len(chunk_idx)]
+                pos += g_pad * w
             return out
 
         return fetch

@@ -208,6 +208,51 @@ align_scores_grouped_kernel = partial(
 )(align_scores_grouped)
 
 
+SCREEN_ROW_BITS = 12          # batch width <= 4096 rows per group
+SCREEN_ROW_MASK = (1 << SCREEN_ROW_BITS) - 1
+# score * 4096 must stay inside int32: survivors' scores are bounded by
+# max_qlen * max_sub; callers gate screening on this
+SCREEN_MAX_SCORE = (1 << (31 - SCREEN_ROW_BITS)) - 1
+
+
+def screen_topk_words(scores: jnp.ndarray, smin: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Device-side exact E-value screening (VERDICT r2 item 3).
+
+    Packs each group's E-value survivors (``score >= smin[g]``, the
+    integer threshold from core.evalue.min_passing_score) into int32
+    words ``score * 4096 + (B-1-row)`` and returns the ``k`` largest per
+    group, descending; losers/padding are -1.  Sort-only — no gathers
+    (scalar-core poison on TPU, docs/PLATFORM.md).  The fetch then ships
+    (G, k) words instead of (G, B) scores.
+
+    Exactness: the final per-query selection keeps the best
+    ``max_alignments`` survivors by (score desc, id asc).  Rows within a
+    group are ascending in database id (the bucketing is stable), so the
+    word order (score desc, row asc via the inverted row encoding) equals
+    the global tie order restricted to the group; any candidate outside
+    its group's top-k is dominated by k in-group candidates and can never
+    reach the global top-``max_alignments`` for k >= max_alignments.
+    Mirrors the E-value filter inside swsharp's alignDatabase
+    (reference database_alignment.cpp:83-86,129-134).
+    """
+    G, B = scores.shape
+    rowenc = (B - 1) - jax.lax.broadcasted_iota(jnp.int32, (G, B), 1)
+    words = jnp.where(
+        scores >= smin[:, None],
+        scores * (SCREEN_ROW_MASK + 1) + rowenc,
+        jnp.int32(-1),
+    )
+    return -jnp.sort(-words, axis=1)[:, :k]
+
+
+def decode_screen_words(words: np.ndarray, batch_width: int):
+    """Host inverse of screen_topk_words for ONE group: (rows, scores)
+    of the survivors, best-first."""
+    w = words[words >= 0]
+    rows = (batch_width - 1) - (w & SCREEN_ROW_MASK)
+    return rows, w >> SCREEN_ROW_BITS
+
+
 def align_scores_grouped_resident(
     q_codes_all: jnp.ndarray,   # (Qm,) int32 concatenated padded queries
     q_offsets: jnp.ndarray,     # (G,) int32

@@ -257,3 +257,32 @@ def evalues(scores: np.ndarray, query_len: int, params: EValueParams) -> np.ndar
     n = max(params.total_cells - ell, 1)
     s = np.asarray(scores, dtype=np.float64)
     return params.K * m * n * np.exp(-params.lam * s)
+
+
+def min_passing_score(
+    max_evalue: float, query_len: int, params: EValueParams
+) -> "int | None":
+    """Smallest integer score whose E-value passes ``<= max_evalue`` —
+    the exact inverse of :func:`evalues` (E = Kmn·exp(-λs) is strictly
+    decreasing in s), stepped to the integer boundary through the same
+    float path the filter uses so device-side integer screening
+    (``score >= min_passing_score``) keeps EXACTLY the set
+    ``evalues(score) <= max_evalue`` keeps.  Returns None when the
+    statistics cannot invert (λ <= 0) — callers then skip screening.
+    Mirrors the E-value filter inside swsharp's alignDatabase
+    (reference database_alignment.cpp:83-86,129-134)."""
+    if params.lam <= 0 or params.K <= 0 or max_evalue <= 0:
+        return None
+    ell = length_adjustment(params, query_len)
+    m = max(query_len - ell, 1)
+    n = max(params.total_cells - ell, 1)
+    raw = math.log(params.K * m * n / max_evalue) / params.lam
+    s = max(int(math.ceil(raw)), 0)
+    # float-rounding guard: agree bit-for-bit with evalues()
+    while s > 0 and float(
+        evalues(np.array([s - 1]), query_len, params)[0]
+    ) <= max_evalue:
+        s -= 1
+    while float(evalues(np.array([s]), query_len, params)[0]) > max_evalue:
+        s += 1
+    return s

@@ -150,6 +150,7 @@ def make_grouped_sharded(
     acc: str = "int",
     axis: str = DB_AXIS,
     kernel: str = "pallas",
+    screen_k: int = 0,
 ):
     """Production multi-chip scorer: the grouped Mosaic kernel under shard_map,
     sharded over the GROUP axis.  ``kernel="xla"`` substitutes the exact
@@ -169,14 +170,20 @@ def make_grouped_sharded(
     fn(q_codes_all (Qm,) i32, q_offsets (G,) i32, q_lens (G,) i32,
        targets (G, B, N) i8 sharded on axis 0, target_lens (G, B) i32 sharded,
        matrix32 (32, 32) i32) -> scores (G, B) i32 sharded on axis 0
+
+    ``screen_k`` > 0 fuses device-side exact E-value screening
+    (align/xla.py screen_topk_words): the step takes a trailing (G,) i32
+    threshold array (sharded like the group axis) and returns (G, screen_k)
+    survivor words instead of (G, B) scores — the fetch-tax cut of
+    VERDICT r2 item 3.
     """
     key = ("grouped", mesh, mode, gap_open, gap_extend, max_qlen, max_sub,
-           acc, axis, kernel)
+           acc, axis, kernel, screen_k)
     if key not in _GROUPED_CACHE:
         if kernel == "pallas":
             from ..align.pallas_sw import sw_scores_pallas_grouped
 
-            def local_step(q, go, gl, tg, tl, m32):
+            def base(q, go, gl, tg, tl, m32):
                 return sw_scores_pallas_grouped(
                     q, go, gl, tg, tl, m32,
                     mode=mode, gap_open=gap_open, gap_extend=gap_extend,
@@ -185,17 +192,28 @@ def make_grouped_sharded(
         else:
             from ..align.xla import align_scores_grouped
 
-            def local_step(q, go, gl, tg, tl, m32):
+            def base(q, go, gl, tg, tl, m32):
                 return align_scores_grouped(
                     q, go, gl, tg, tl, m32,
                     mode=mode, gap_open=gap_open, gap_extend=gap_extend,
                     m_window=max_qlen,
                 )
 
+        local_step, extra = base, ()
+        if screen_k:
+            from ..align.xla import screen_topk_words
+
+            def local_step(q, go, gl, tg, tl, m32, smin):
+                return screen_topk_words(base(q, go, gl, tg, tl, m32),
+                                         smin, screen_k)
+
+            extra = (P(axis),)
+
         fn = jax.shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(P(), P(axis), P(axis), P(axis, None, None), P(axis, None), P()),
+            in_specs=(P(), P(axis), P(axis), P(axis, None, None),
+                      P(axis, None), P()) + extra,
             out_specs=P(axis, None),
             check_vma=False,
         )
@@ -252,6 +270,7 @@ def make_grouped_resident_sharded(
     n_pad: int = 512,
     kernel: str = "pallas",
     axis: str = DB_AXIS,
+    screen_k: int = 0,
 ):
     """HBM-resident grouped scorer under shard_map, sharded over the GROUP
     axis (VERDICT r2 item 2).  The resident segment array is REPLICATED
@@ -270,12 +289,13 @@ def make_grouped_resident_sharded(
        db_flat (R,) u8 replicated, t_starts (G, B) i32 sharded,
        target_lens (G, B) i32 sharded, matrix32) -> (G, B) i32 sharded
     """
-    key = ("grouped_res", mesh, mode, gap_open, gap_extend, n_pad, kernel, axis)
+    key = ("grouped_res", mesh, mode, gap_open, gap_extend, n_pad, kernel,
+           axis, screen_k)
     if key not in _GROUPED_CACHE:
         if kernel == "pallas":
             from ..align.pallas_sw import sw_scores_pallas_grouped_resident
 
-            def local_step(q, go, gl, db_flat, ts, tl, m32):
+            def base(q, go, gl, db_flat, ts, tl, m32):
                 return sw_scores_pallas_grouped_resident(
                     q, go, gl, db_flat, ts, tl, m32, n_pad,
                     mode=mode, gap_open=gap_open, gap_extend=gap_extend,
@@ -283,16 +303,28 @@ def make_grouped_resident_sharded(
         else:
             from ..align.xla import align_scores_grouped_resident
 
-            def local_step(q, go, gl, db_flat, ts, tl, m32):
+            def base(q, go, gl, db_flat, ts, tl, m32):
                 return align_scores_grouped_resident(
                     q, go, gl, db_flat, ts, tl, m32, n_pad,
                     mode=mode, gap_open=gap_open, gap_extend=gap_extend,
                 )
 
+        local_step, extra = base, ()
+        if screen_k:
+            from ..align.xla import screen_topk_words
+
+            def local_step(q, go, gl, db_flat, ts, tl, m32, smin):
+                return screen_topk_words(
+                    base(q, go, gl, db_flat, ts, tl, m32), smin, screen_k
+                )
+
+            extra = (P(axis),)
+
         fn = jax.shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(P(), P(axis), P(axis), P(), P(axis, None), P(axis, None), P()),
+            in_specs=(P(), P(axis), P(axis), P(), P(axis, None),
+                      P(axis, None), P()) + extra,
             out_specs=P(axis, None),
             check_vma=False,
         )

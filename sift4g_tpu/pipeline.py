@@ -143,6 +143,17 @@ def align_database(
     results: List[List[AlignmentRecord]] = [[] for _ in queries]
     remaining = [list(ix) for ix in indices]
 
+    # per-query integer passing-score thresholds: exact inverse of the
+    # E-value filter (core/evalue.min_passing_score), used both for
+    # device-side screening (fetch survivors only — VERDICT r2 item 3)
+    # and the host keep filter (integer compare replaces the dense
+    # E-value pass; same set by construction)
+    from .core.evalue import min_passing_score
+
+    smin_all = [
+        min_passing_score(max_evalue, len(q), evalue_params) for q in queries
+    ]
+
     store = ChunkStore(start=record_range[0] if record_range else 0)
     with FastaStream(database_path, record_range=record_range) as fs:
         resident = None
@@ -198,7 +209,10 @@ def align_database(
             import time as _time
 
             t_disp = _time.perf_counter()
-            fetch = aligner.scores_many_async(score_items)
+            fetch = aligner.scores_many_async(
+                score_items,
+                screen=([smin_all[qi] for qi in active], max_alignments),
+            )
             if metrics is not None:
                 metrics.add("align.dispatch", seconds=_time.perf_counter() - t_disp)
             # overlap: stream the next database part while the device scores
@@ -225,11 +239,22 @@ def align_database(
             for qi, scores in zip(active, all_scores):
                 query = queries[qi]
                 used = chunk_used[qi]
-                evals = evalues(scores, len(query), evalue_params)
-                keep = np.flatnonzero(evals <= max_evalue)
+                smin_q = smin_all[qi]
+                if smin_q is not None and smin_q >= 1:
+                    # integer threshold == the evalues() filter set by
+                    # construction; also correct when the aligner screened
+                    # (non-survivors come back 0 < smin_q)
+                    keep = np.flatnonzero(scores >= smin_q)
+                else:
+                    evals_full = evalues(scores, len(query), evalue_params)
+                    keep = np.flatnonzero(evals_full <= max_evalue)
                 # best-first: score desc, db index asc
                 keep = sorted(keep.tolist(), key=lambda i: (-int(scores[i]), used[i]))
                 keep = keep[:max_alignments]
+                evals_kept = evalues(
+                    scores[np.asarray(keep, dtype=np.int64)],
+                    len(query), evalue_params,
+                )
                 recs = align_pairs_batch(
                     query.codes,
                     [store.codes(used[i]) for i in keep],
@@ -237,10 +262,10 @@ def align_database(
                     mode,
                     threads=threads,
                 )
-                for i, rec in zip(keep, recs):
+                for i, rec, ev in zip(keep, recs, evals_kept):
                     rec.target_idx = used[i]
                     rec.target_name = store.name(used[i])
-                    rec.evalue = float(evals[i])
+                    rec.evalue = float(ev)
                     if not consumed_is_mmap:
                         rec.target_codes = np.array(rec.target_codes, copy=True)
                     results[qi].append(rec)
