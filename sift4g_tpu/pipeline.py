@@ -150,9 +150,13 @@ def align_database(
     # E-value pass; same set by construction)
     from .core.evalue import min_passing_score
 
-    smin_all = [
-        min_passing_score(max_evalue, len(q), evalue_params) for q in queries
-    ]
+    if os.environ.get("SIFT4G_TPU_SCREEN", "1") == "0":   # A/B knob
+        smin_all = [None for _ in queries]
+    else:
+        smin_all = [
+            min_passing_score(max_evalue, len(q), evalue_params)
+            for q in queries
+        ]
 
     store = ChunkStore(start=record_range[0] if record_range else 0)
     with FastaStream(database_path, record_range=record_range) as fs:

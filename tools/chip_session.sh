@@ -1,33 +1,49 @@
 #!/bin/bash
-# Queued chip work for the next hardware session (round 2, tunnel outage
-# 2026-08-18).  Run steps MANUALLY one at a time — one TPU process at a
-# time on this machine (docs/PLATFORM.md), and a wedged compile can take
-# the relay down; probe between steps:
+# Queued chip work for the next hardware session (round 3; relay down
+# since 2026-08-18).  Run steps MANUALLY one at a time — one TPU process
+# at a time on this machine (docs/PLATFORM.md), and a wedged compile can
+# take the relay down; probe between steps:
 #
 #   python -c "import socket; s=socket.socket(); s.settimeout(3); s.connect(('127.0.0.1',8082)); print('up')"
 #
-# 1. Driver bench number (fresh process, ~25 min budget for compiles):
+# 1. Driver bench number — round 3's #1 deliverable (VERDICT r2 item 1).
+#    bench.py now retries a refused probe for SIFT4G_TPU_RELAY_WAIT s
+#    (default 600) and stamps "relay" into the JSON:
 #      timeout 2400 python bench.py
+#    Expect sw_score_gcups[pallas-grouped] >= 47.5 (+ roofline_pct).
 #
-# 2. Resident 5M on-chip A/B (3 segments; serialized fresh-shape compiles
-#    are in place — see PLATFORM.md "Compile-service wedge"):
+# 2. Device-side E-value screening A/B at 2000q x 2M (VERDICT r2 item 3;
+#    target: warm align <= ~25 s from 60.2 resident / 128.8 slab).
+#    Screening is ON by default; SIFT4G_TPU_SCREEN=0 is the control arm.
+#    Interleave arms, one process each, warm second run is the number:
+#      timeout 3600 python tools/bench_pipeline.py /tmp/mq2m --resident-db on --repeat
+#      timeout 3600 SIFT4G_TPU_SCREEN=0 python tools/bench_pipeline.py /tmp/mq2m --resident-db on --repeat
+#      (repeat the pair; also run a --resident-db off pair if time allows)
+#    NOTE: screened launches are NEW jit shapes (fused sort + (G,K) out)
+#    — the first screened run pays fresh Mosaic compiles; schedule few
+#    distinct shapes (default ladder only) and let the warm run speak.
+#    Record per-phase align.fetch from SIFT4G_TPU_SEARCH_STATS/--timings:
+#    the hypothesis under test is that fetch bytes (45 MB -> ~2 MB) are
+#    the 47.2 s; if fetch does NOT drop, the tax is dispatch-side and the
+#    next lever is fewer/larger launches (G=128 at serve-daemon warmth).
+#
+# 3. Resident 5M on-chip A/B (3 segments; carried from round 2):
 #      timeout 3600 python tools/bench_pipeline.py /tmp/mq5m --resident-db on --repeat
 #      timeout 3600 python tools/bench_pipeline.py /tmp/mq5m --resident-db off --repeat
-#    (interleave again if relay mood is noisy; warm second run is the number)
 #
-# 3. Tail-policy A/B at 2M missense (arms differ in jit shapes — one
+# 4. Tail-policy A/B at 2M missense (arms differ in jit shapes — one
 #    process per arm, interleave, best-of):
 #      timeout 3600 python tools/ab_tail.py full  /tmp/mq2m
 #      timeout 3600 python tools/ab_tail.py pow2  /tmp/mq2m
-#      timeout 3600 python tools/ab_tail.py full  /tmp/mq2m
-#      timeout 3600 python tools/ab_tail.py pow2  /tmp/mq2m
 #    Decide the tail_policy default from the warm align-phase times.
+#    (With screening the fetch no longer scales with padding, so pow2's
+#    win shrinks to kernel time only — re-evaluate, don't assume.)
 #
-# 4. Warm missense e2e re-measure with the 5x search + oracle speedups
-#    (updates README "many-query axis"; expect ~170s from 291.6):
-#      timeout 3600 python tools/bench_pipeline.py /tmp/mq5m --repeat --predict-backend device
-#
-# 5. If time remains: 20q x 5M warm e2e (README table), GCUPS spot-check.
+# 5. If time remains: warm missense e2e re-measure with screening +
+#    search speedups (--predict-backend device; round-2 number 291.6 ->
+#    151.4 resident; target < 100 s), 20q x 5M warm e2e, a
+#    production-shape make_grouped_sharded(kernel="pallas") single-chip
+#    sanity launch, G=128 under a warm serve daemon.
 #
 # Datasets: /tmp/mq2m, /tmp/mq5m (mutated-homolog queries; rebuild with
 # tools/make_synthetic_db.py if /tmp was wiped — see ROADMAP/README).
