@@ -114,6 +114,14 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
             c_i32_p, c_i32, c_i32, c_i32, c_i32,     # matrix26, go, ge, mode, threads
             c_i32_p,                                 # out scores
         ]
+
+    if hasattr(lib, "sift4g_select"):  # stale .so tolerance
+        lib.sift4g_select.restype = c_i64
+        lib.sift4g_select.argtypes = [
+            c_u8_p, c_i64, c_i64,                    # rows, n, L
+            ctypes.POINTER(ctypes.c_float), c_i64,   # xlogx table, size
+            ctypes.c_float, ctypes.c_double,         # threshold, kLog_2_20
+        ]
     return lib
 
 

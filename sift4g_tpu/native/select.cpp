@@ -1,0 +1,88 @@
+// Median-entropy alignment selection (reference select_alignments.cpp:183-242).
+//
+// Bit-exact float32 twin of sift/select.py alignments_select: entropy
+// terms come from the PYTHON-BUILT xlogx table (f32(num/den * log2(num/den)))
+// so no libm call can differ in the last ulp; the per-position sum adds the
+// nonzero terms in amino-acid order with float (f32) rounding at every step
+// (quirk Q9); the double constant kLog_2_20 is added in double then truncated
+// to float; the median reproduces get_median's len-1 sort quirk (Q1) via
+// nth_element over the first L-1 elements (selection is value-exact vs a
+// full sort).  The scalar Python loop cost ~120 ms/query at missense scale
+// (400 near-identical rows: the median never drops, every prefix is
+// evaluated); this loop is ~1 ms.
+//
+// IMPORTANT: must NOT be compiled with -ffast-math (the Makefile does not).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// get_median (constants.hpp:77-86): sorts only a[0..len-2], then takes the
+// middle by position.  nth_element over [0, len-1) yields the same values
+// at the selected positions as the full sort.
+float median_q1(float* a, int64_t len) {
+    if (len <= 0) return 0.0f;
+    if (len == 1) return a[0];
+    if (len == 2) {
+        // sort of a[:1] is a no-op; (f32 + f32) in f32, then /2.0 in
+        // double, truncated to f32 (mirrors constants.get_median)
+        return (float)(((double)(a[0] + a[1])) / 2.0);
+    }
+    int64_t k2 = len / 2;                 // < len-1 for len >= 3
+    if ((len & 1) == 1) {
+        std::nth_element(a, a + k2, a + len - 1);
+        return a[k2];
+    }
+    int64_t k1 = k2 - 1;
+    std::nth_element(a, a + k1, a + len - 1);
+    float v1 = a[k1];
+    std::nth_element(a + k1 + 1, a + k2, a + len - 1);
+    float v2 = a[k2];
+    return (float)(((double)(v1 + v2)) / 2.0);
+}
+
+}  // namespace
+
+extern "C" {
+
+// rows: (n, L) uint8 letter codes ('X' == 23 is the gap/flank marker).
+// xlogx: (tab_size, tab_size) float32, xlogx[num*tab_size + den] =
+//        f32(num/den * log2(num/den)), rows/cols 0 zeroed; tab_size > n.
+// Returns the selected prefix length (quirk Q8 semantics: the first prefix
+// whose median <= threshold, else n).  The caller handles the
+// threshold >= kLog_2_20 early-out (returns 0 before calling).
+int64_t sift4g_select(const uint8_t* rows, int64_t n, int64_t L,
+                      const float* xlogx, int64_t tab_size,
+                      float threshold, double log_2_20) {
+    if (n <= 0 || L <= 0) return 0;
+    std::vector<int16_t> counts((size_t)L * 26, 0);
+    std::vector<int32_t> valid((size_t)L, 0);
+    std::vector<float> pf((size_t)L);
+    for (int64_t p = 0; p < n; ++p) {
+        const uint8_t* row = rows + p * L;
+        for (int64_t j = 0; j < L; ++j) {
+            uint8_t c = row[j];
+            if (c != 23) {
+                ++counts[(size_t)j * 26 + c];
+                ++valid[j];
+            }
+        }
+        for (int64_t j = 0; j < L; ++j) {
+            const int16_t* cj = &counts[(size_t)j * 26];
+            const float* tv = xlogx + valid[j];  // column = den
+            float s = 0.0f;
+            for (int aa = 0; aa < 26; ++aa) {    // ascending aa order (Q9)
+                int16_t c = cj[aa];
+                if (c) s = s + tv[(int64_t)c * tab_size];
+            }
+            pf[j] = (float)((double)s + log_2_20);
+        }
+        if (median_q1(pf.data(), L) <= threshold) return p + 1;
+    }
+    return n;
+}
+
+}  // extern "C"

@@ -27,6 +27,54 @@ from ..core.chain import Chain
 
 X_CODE = ord("X") - ord("A")  # 23
 
+# f32(num/den * log2(num/den)) for all (num, den) count pairs: the entropy
+# terms take only O(n^2) distinct values per query (counts <= n rows), so
+# a table gather replaces the log2/div/mul flops that dominate selection
+# at missense scale (measured ~120 ms/query at n=400 near-identical rows).
+# Row 0 / col 0 are zero: a cum==0 lookup IS the reference's count>0 skip.
+# Values are bit-identical to the direct computation (same f32 op chain).
+_XLOGX = {"size": 0, "tab": None}
+
+
+def _xlogx_table(cap: int) -> np.ndarray:
+    if _XLOGX["size"] <= cap:
+        size = 1
+        while size <= cap:
+            size *= 2
+        v = np.arange(size, dtype=np.float32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = v[:, None] / v[None, :]
+            tab = (t * np.log2(t)).astype(np.float32)
+        tab[0, :] = np.float32(0.0)
+        tab[:, 0] = np.float32(0.0)
+        # single atomic publish: selection runs under the query fan-out
+        # threads; a racing rebuild is idempotent
+        _XLOGX["tab"], _XLOGX["size"] = tab, size
+    return _XLOGX["tab"]
+
+
+def _native_select(rows: np.ndarray, n: int, L: int, threshold) -> "int | None":
+    """native/select.cpp: the bit-exact C++ twin (it consumes the SAME
+    Python-built xlogx table, so no libm ulp drift is possible); ~50x the
+    blocked numpy path at missense scale.  None -> fall through."""
+    from .. import native
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "sift4g_select"):
+        return None
+    import ctypes
+
+    tab = _xlogx_table(n)
+    r = np.ascontiguousarray(rows, dtype=np.uint8)
+    return int(lib.sift4g_select(
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, L,
+        tab.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        tab.shape[0],
+        ctypes.c_float(float(threshold)),
+        ctypes.c_double(LOG_2_20),
+    ))
+
 
 def extract_alignment_strings(
     query: Chain, records: List[AlignmentRecord]
@@ -53,33 +101,58 @@ def extract_alignment_strings(
 
 
 def alignments_select(rows: np.ndarray, threshold: float) -> int:
-    """Number of leading rows selected (alignmentsSelect, :183-242)."""
+    """Number of leading rows selected (alignmentsSelect, :183-242).
+
+    Prefixes are evaluated in geometrically growing BLOCKS with the
+    per-prefix entropy vectorized over the block: the scalar loop cost
+    ~130 numpy dispatches per prefix and homolog-heavy (missense)
+    queries evaluate all ~400 prefixes (the median never drops for
+    near-identical rows), measured at ~124 ms/query — the blocked form
+    computes identical float32 values (same division, same sequential
+    amino-acid accumulation order, quirk Q9) in ~40 dispatches per
+    block."""
     n, L = rows.shape
     if n == 0:
         return 0
     threshold = np.float32(threshold)
-    median = np.float32(LOG_2_20)
-    # cumulative per-position letter counts over the prefix
-    counts = np.zeros((L, 26), dtype=np.int64)
-    pos_idx = np.arange(L)
+    if np.float32(LOG_2_20) <= threshold:
+        return 0  # the loop guard fails before the first prefix (Q8)
+    if n < 4096:
+        sel = _native_select(rows, n, L, threshold)
+        if sel is not None:
+            return sel
+    counts = np.zeros((L, 26), dtype=np.int32)
     i = 1
-    while median > threshold and i <= n:
-        row = rows[i - 1]
-        not_x = row != X_CODE
-        counts[pos_idx[not_x], row[not_x]] += 1
-        valid = counts.sum(axis=1)  # rows counted at each position
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = counts.astype(np.float32) / valid.astype(np.float32)[:, None]
-        # sequential f32 accumulation in amino-acid order, as the reference
-        pos_freq = np.zeros(L, dtype=np.float32)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            for aa in range(26):
-                col = counts[:, aa]
-                term = np.where(col > 0, t[:, aa] * np.log2(t[:, aa]), np.float32(0.0))
-                pos_freq = (pos_freq + term.astype(np.float32)).astype(np.float32)
-        # the reference adds the double constant kLog_2_20 to a float lvalue:
-        # compute in f64, truncate to f32
-        pos_freq = (pos_freq.astype(np.float64) + LOG_2_20).astype(np.float32)
-        median = get_median(pos_freq, L)
-        i += 1
-    return i - 1
+    blk = 4
+    blk_cap = max(1, min(64, 4_000_000 // (max(L, 1) * 26)))
+    while i <= n:
+        b = min(blk, n - i + 1)
+        seg = rows[i - 1 : i - 1 + b]
+        onehot = np.zeros((b, L, 26), dtype=np.int32)
+        bi, li = np.nonzero(seg != X_CODE)
+        onehot[bi, li, seg[bi, li]] = 1
+        # counts for every prefix in the block: (b, L, 26)
+        cum = counts[None] + np.cumsum(onehot, axis=0)
+        valid = cum.sum(axis=2)
+        if n < 4096:
+            tab = _xlogx_table(n)
+            term = tab[cum, np.broadcast_to(valid[:, :, None], cum.shape)]
+        else:  # huge --max-aligns: direct computation (same f32 chain)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = cum.astype(np.float32) / valid.astype(np.float32)[:, :, None]
+                term = np.where(
+                    cum > 0, t * np.log2(t), np.float32(0.0)
+                ).astype(np.float32)
+        pos_freq = np.zeros((b, L), dtype=np.float32)
+        for aa in range(26):  # sequential f32 accumulation order (Q9)
+            pos_freq = (pos_freq + term[:, :, aa]).astype(np.float32)
+        # the reference adds the double constant kLog_2_20 to a float
+        # lvalue: compute in f64, truncate to f32
+        pf = (pos_freq.astype(np.float64) + LOG_2_20).astype(np.float32)
+        for k in range(b):
+            if get_median(pf[k], L) <= threshold:
+                return i + k  # first prefix whose median passes (Q8)
+        counts = cum[-1]
+        i += b
+        blk = min(blk * 2, blk_cap)
+    return n

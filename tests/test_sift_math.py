@@ -170,3 +170,31 @@ def test_median_seq_info_uniform():
     med = calculate_median_seq_info(m)
     lo = LOG_2_20 + math.log(5.0 / 100.0)  # not meaningful; just check range
     assert 0.0 <= med <= LOG_2_20 + 1e-6
+
+
+def test_native_select_parity_fuzz():
+    """native/select.cpp == the numpy blocked path == (via the existing
+    fuzz suite) the scalar second oracle, across mutation/X densities and
+    thresholds including the kLog_2_20 boundary."""
+    import sift4g_tpu.sift.select as S
+    from sift4g_tpu.sift.select import alignments_select
+
+    rng = np.random.default_rng(77)
+    for trial in range(120):
+        n = int(rng.integers(1, 50))
+        L = int(rng.integers(1, 100))
+        base = rng.integers(0, 26, L).astype(np.uint8)
+        rows = np.tile(base, (n, 1))
+        mut = rng.random((n, L)) < rng.random() * 0.8
+        rows[mut] = rng.integers(0, 26, mut.sum())
+        xm = rng.random((n, L)) < rng.random() * 0.5
+        rows[xm] = 23
+        thr = float(rng.choice([2.75, 1.0, 3.5, 4.0, 4.33, 4.321928095]))
+        got = alignments_select(rows, thr)
+        orig = S._native_select
+        S._native_select = lambda *a, **k: None
+        try:
+            want = alignments_select(rows, thr)
+        finally:
+            S._native_select = orig
+        assert got == want, (trial, got, want, n, L, thr)
