@@ -40,6 +40,17 @@ def _onehot_counts(rows: np.ndarray, weights: np.ndarray) -> Tuple[np.ndarray, n
     """
     n, L = rows.shape
     matrix = np.zeros((L, 26), dtype=np.float64)
+    if n and weights.size and np.all(weights == 1.0):
+        # weight-1 counts are integers: any summation order is exact
+        # (< 2^53), so a bincount scatter replaces the per-letter passes
+        valid = VALID_AA_MASK[rows]
+        pos = np.broadcast_to(
+            np.arange(L, dtype=np.intp)[None, :], rows.shape
+        )
+        flat = (pos * 26 + rows.astype(np.intp)).ravel()[valid.ravel()]
+        matrix += np.bincount(flat, minlength=L * 26).reshape(L, 26)
+        tot = matrix.sum(axis=1)
+        return matrix, tot
     if n:
         valid = VALID_AA_MASK[rows]  # (n, L)
         w = np.where(valid, weights[:, None], 0.0)  # (n, L)
@@ -114,16 +125,27 @@ def _add_logs_fold(log_terms: np.ndarray) -> np.ndarray:
     return acc
 
 
+_GAMMALN_ALTOT = gammaln(DIRI_ALTOT)        # (13,) constants
+_GAMMALN_ALPHA = gammaln(DIRI_ALPHA)        # (13, 26) constants
+
+
 def calc_diri(weighted: np.ndarray) -> np.ndarray:
     """13-component Dirichlet-mixture regularizer (calcDiri /
-    add_diric_values, :379-451).  weighted: (L, 26) -> (L, 26)."""
+    add_diric_values, :379-451).  weighted: (L, 26) -> (L, 26).
+
+    gammaln (the cost center: ~100k evals/query at 400 rows) is
+    evaluated on the UNIQUE count values per column and gathered back —
+    near-identical missense MSAs repeat a handful of column
+    compositions, so the dedup is large there; values are bit-identical
+    (same function, same inputs, same elementwise combine order)."""
     L = weighted.shape[0]
     tot = weighted.sum(axis=1)  # (L,)
+    ut, it = np.unique(tot, return_inverse=True)
     # probn[j] over positions: (13, L)
     probn = (
-        gammaln(tot + 1.0)[None, :]
-        + gammaln(DIRI_ALTOT)[:, None]
-        - gammaln(tot[None, :] + DIRI_ALTOT[:, None])
+        gammaln(ut + 1.0)[it][None, :]
+        + _GAMMALN_ALTOT[:, None]
+        - gammaln(ut[None, :] + DIRI_ALTOT[:, None])[:, it]
     )
     # per amino acid terms, valid only
     for aa in range(26):
@@ -131,10 +153,11 @@ def calc_diri(weighted: np.ndarray) -> np.ndarray:
             continue
         c = weighted[:, aa]  # (L,)
         alpha = DIRI_ALPHA[:, aa]  # (13,)
+        u, inv = np.unique(c, return_inverse=True)
         probn += (
-            gammaln(c[None, :] + alpha[:, None])
-            - gammaln(c + 1.0)[None, :]
-            - gammaln(alpha)[:, None]
+            gammaln(u[None, :] + alpha[:, None])[:, inv]
+            - gammaln(u + 1.0)[inv][None, :]
+            - _GAMMALN_ALPHA[:, aa][:, None]
         )
     logq = np.log(DIRI_Q)[:, None]  # (13, 1)
     denom = _add_logs_fold(logq + probn)  # (L,)
