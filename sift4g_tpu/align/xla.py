@@ -236,6 +236,9 @@ def screen_topk_words(scores: jnp.ndarray, smin: jnp.ndarray, k: int) -> jnp.nda
     (reference database_alignment.cpp:83-86,129-134).
     """
     G, B = scores.shape
+    # the row field is SCREEN_ROW_BITS wide; b_for's 4096 clamp is a
+    # distant VMEM constraint, so enforce the coupling loudly here
+    assert B <= SCREEN_ROW_MASK + 1, f"batch width {B} overflows the row field"
     rowenc = (B - 1) - jax.lax.broadcasted_iota(jnp.int32, (G, B), 1)
     words = jnp.where(
         scores >= smin[:, None],

@@ -33,24 +33,29 @@ X_CODE = ord("X") - ord("A")  # 23
 # at missense scale (measured ~120 ms/query at n=400 near-identical rows).
 # Row 0 / col 0 are zero: a cum==0 lookup IS the reference's count>0 skip.
 # Values are bit-identical to the direct computation (same f32 op chain).
-_XLOGX = {"size": 0, "tab": None}
+_XLOGX = {"entry": (0, None)}  # (size, table), published atomically
 
 
 def _xlogx_table(cap: int) -> np.ndarray:
-    if _XLOGX["size"] <= cap:
-        size = 1
-        while size <= cap:
-            size *= 2
-        v = np.arange(size, dtype=np.float32)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = v[:, None] / v[None, :]
-            tab = (t * np.log2(t)).astype(np.float32)
-        tab[0, :] = np.float32(0.0)
-        tab[:, 0] = np.float32(0.0)
-        # single atomic publish: selection runs under the query fan-out
-        # threads; a racing rebuild is idempotent
-        _XLOGX["tab"], _XLOGX["size"] = tab, size
-    return _XLOGX["tab"]
+    """Table covering count values 0..cap.  Thread-safe under the query
+    fan-out: the caller always receives the table IT validated/built (a
+    racing thread's publish can never hand out a smaller table), and a
+    smaller build never replaces a larger published one."""
+    size, tab = _XLOGX["entry"]
+    if size > cap:
+        return tab
+    size = 1
+    while size <= cap:
+        size *= 2
+    v = np.arange(size, dtype=np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = v[:, None] / v[None, :]
+        tab = (t * np.log2(t)).astype(np.float32)
+    tab[0, :] = np.float32(0.0)
+    tab[:, 0] = np.float32(0.0)
+    if size > _XLOGX["entry"][0]:
+        _XLOGX["entry"] = (size, tab)
+    return tab
 
 
 def _native_select(rows: np.ndarray, n: int, L: int, threshold) -> "int | None":
