@@ -256,63 +256,80 @@ def get_resident_db(host_codes: np.ndarray, offsets: np.ndarray,
     return _RESIDENT_CACHE["db"]
 
 
+def grouped_local_step(impl, resident_npad, screen_k, *, mode, gap_open,
+                       gap_extend, max_qlen=0, max_sub=0, acc="int"):
+    """The ONE kernel-selection site for grouped scoring: picks
+    Mosaic/XLA x slab/resident, optionally fusing device-side E-value
+    screening (align/xla.py screen_topk_words — fused so a launch stays
+    one dispatch; a separate screening op would double the ~30 ms launch
+    tax).  Consumed by the single-device jit factory below AND the
+    shard_map factories in parallel/sharded.py, so the screened mesh and
+    single-device paths cannot diverge.  A screened step takes a
+    trailing (G,) int32 threshold array and returns (G, screen_k) words;
+    ``resident_npad`` > 0 selects the HBM-resident kernels (signature
+    gains the flat db array)."""
+    from .pallas_sw import (
+        sw_scores_pallas_grouped,
+        sw_scores_pallas_grouped_resident,
+    )
+    from .xla import (
+        align_scores_grouped,
+        align_scores_grouped_resident,
+        screen_topk_words,
+    )
+
+    if resident_npad:
+        if impl == "xla":
+            def base(q, go, gl, db, ts, tl, m32):
+                return align_scores_grouped_resident(
+                    q, go, gl, db, ts, tl, m32, resident_npad,
+                    mode=mode, gap_open=gap_open, gap_extend=gap_extend,
+                )
+        else:
+            def base(q, go, gl, db, ts, tl, m32):
+                return sw_scores_pallas_grouped_resident(
+                    q, go, gl, db, ts, tl, m32, resident_npad,
+                    mode=mode, gap_open=gap_open, gap_extend=gap_extend,
+                )
+    elif impl == "xla":
+        def base(q, go, gl, tg, tl, m32):
+            return align_scores_grouped(
+                q, go, gl, tg, tl, m32,
+                mode=mode, gap_open=gap_open, gap_extend=gap_extend,
+                m_window=max_qlen,
+            )
+    else:
+        def base(q, go, gl, tg, tl, m32):
+            return sw_scores_pallas_grouped(
+                q, go, gl, tg, tl, m32,
+                mode=mode, gap_open=gap_open, gap_extend=gap_extend,
+                max_qlen=max_qlen, max_sub=max_sub, acc=acc,
+            )
+    if not screen_k:
+        return base
+
+    def fn(*args):
+        *a, smin = args
+        return screen_topk_words(base(*a), smin, screen_k)
+
+    return fn
+
+
 _GROUPED_SINGLE_CACHE: dict = {}
 
 
 def _grouped_single_fn(impl, resident_npad, screen_k, *, mode, gap_open,
                        gap_extend, max_qlen, max_sub):
-    """Cached jitted single-device grouped scorer WITH fused device-side
-    E-value screening (align/xla.py screen_topk_words) — one dispatch per
-    launch (a separate screening op would double the ~30 ms launch tax).
-    ``resident_npad`` > 0 selects the HBM-resident kernels."""
+    """Cached jitted single-device grouped scorer (screened)."""
     key = (impl, resident_npad, screen_k, mode, gap_open, gap_extend,
            max_qlen, max_sub)
     if key not in _GROUPED_SINGLE_CACHE:
         import jax
 
-        from .pallas_sw import (
-            sw_scores_pallas_grouped,
-            sw_scores_pallas_grouped_resident,
-        )
-        from .xla import (
-            align_scores_grouped,
-            align_scores_grouped_resident,
-            screen_topk_words,
-        )
-
-        if resident_npad:
-            if impl == "xla":
-                def base(q, go, gl, db, ts, tl, m32):
-                    return align_scores_grouped_resident(
-                        q, go, gl, db, ts, tl, m32, resident_npad,
-                        mode=mode, gap_open=gap_open, gap_extend=gap_extend,
-                    )
-            else:
-                def base(q, go, gl, db, ts, tl, m32):
-                    return sw_scores_pallas_grouped_resident(
-                        q, go, gl, db, ts, tl, m32, resident_npad,
-                        mode=mode, gap_open=gap_open, gap_extend=gap_extend,
-                    )
-        elif impl == "xla":
-            def base(q, go, gl, tg, tl, m32):
-                return align_scores_grouped(
-                    q, go, gl, tg, tl, m32,
-                    mode=mode, gap_open=gap_open, gap_extend=gap_extend,
-                    m_window=max_qlen,
-                )
-        else:
-            def base(q, go, gl, tg, tl, m32):
-                return sw_scores_pallas_grouped(
-                    q, go, gl, tg, tl, m32,
-                    mode=mode, gap_open=gap_open, gap_extend=gap_extend,
-                    max_qlen=max_qlen, max_sub=max_sub,
-                )
-
-        def fn(*args):
-            *a, smin = args
-            return screen_topk_words(base(*a), smin, screen_k)
-
-        _GROUPED_SINGLE_CACHE[key] = jax.jit(fn)
+        _GROUPED_SINGLE_CACHE[key] = jax.jit(grouped_local_step(
+            impl, resident_npad, screen_k, mode=mode, gap_open=gap_open,
+            gap_extend=gap_extend, max_qlen=max_qlen, max_sub=max_sub,
+        ))
     return _GROUPED_SINGLE_CACHE[key]
 
 

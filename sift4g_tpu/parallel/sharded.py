@@ -180,35 +180,14 @@ def make_grouped_sharded(
     key = ("grouped", mesh, mode, gap_open, gap_extend, max_qlen, max_sub,
            acc, axis, kernel, screen_k)
     if key not in _GROUPED_CACHE:
-        if kernel == "pallas":
-            from ..align.pallas_sw import sw_scores_pallas_grouped
+        from ..align.batch import grouped_local_step
 
-            def base(q, go, gl, tg, tl, m32):
-                return sw_scores_pallas_grouped(
-                    q, go, gl, tg, tl, m32,
-                    mode=mode, gap_open=gap_open, gap_extend=gap_extend,
-                    max_qlen=max_qlen, max_sub=max_sub, acc=acc,
-                )
-        else:
-            from ..align.xla import align_scores_grouped
-
-            def base(q, go, gl, tg, tl, m32):
-                return align_scores_grouped(
-                    q, go, gl, tg, tl, m32,
-                    mode=mode, gap_open=gap_open, gap_extend=gap_extend,
-                    m_window=max_qlen,
-                )
-
-        local_step, extra = base, ()
-        if screen_k:
-            from ..align.xla import screen_topk_words
-
-            def local_step(q, go, gl, tg, tl, m32, smin):
-                return screen_topk_words(base(q, go, gl, tg, tl, m32),
-                                         smin, screen_k)
-
-            extra = (P(axis),)
-
+        local_step = grouped_local_step(
+            kernel, 0, screen_k, mode=mode, gap_open=gap_open,
+            gap_extend=gap_extend, max_qlen=max_qlen, max_sub=max_sub,
+            acc=acc,
+        )
+        extra = (P(axis),) if screen_k else ()
         fn = jax.shard_map(
             local_step,
             mesh=mesh,
@@ -292,34 +271,13 @@ def make_grouped_resident_sharded(
     key = ("grouped_res", mesh, mode, gap_open, gap_extend, n_pad, kernel,
            axis, screen_k)
     if key not in _GROUPED_CACHE:
-        if kernel == "pallas":
-            from ..align.pallas_sw import sw_scores_pallas_grouped_resident
+        from ..align.batch import grouped_local_step
 
-            def base(q, go, gl, db_flat, ts, tl, m32):
-                return sw_scores_pallas_grouped_resident(
-                    q, go, gl, db_flat, ts, tl, m32, n_pad,
-                    mode=mode, gap_open=gap_open, gap_extend=gap_extend,
-                )
-        else:
-            from ..align.xla import align_scores_grouped_resident
-
-            def base(q, go, gl, db_flat, ts, tl, m32):
-                return align_scores_grouped_resident(
-                    q, go, gl, db_flat, ts, tl, m32, n_pad,
-                    mode=mode, gap_open=gap_open, gap_extend=gap_extend,
-                )
-
-        local_step, extra = base, ()
-        if screen_k:
-            from ..align.xla import screen_topk_words
-
-            def local_step(q, go, gl, db_flat, ts, tl, m32, smin):
-                return screen_topk_words(
-                    base(q, go, gl, db_flat, ts, tl, m32), smin, screen_k
-                )
-
-            extra = (P(axis),)
-
+        local_step = grouped_local_step(
+            kernel, n_pad, screen_k, mode=mode, gap_open=gap_open,
+            gap_extend=gap_extend,
+        )
+        extra = (P(axis),) if screen_k else ()
         fn = jax.shard_map(
             local_step,
             mesh=mesh,
