@@ -19,6 +19,8 @@
 #include <thread>
 #include <vector>
 
+#include "sw_simd.h"
+
 namespace {
 
 constexpr int32_t NEG = INT32_MIN / 4;
@@ -229,15 +231,35 @@ void sift4g_score_batch(const uint8_t* q, int32_t qlen, const uint8_t* base,
   unsigned hw = std::thread::hardware_concurrency();
   int nt = n_threads > 0 ? n_threads : (hw ? static_cast<int>(hw) : 4);
   nt = std::min<int>(nt, std::max<int32_t>(1, n_targets));
+  // striped SIMD path (SW only): one shared read-only query profile, a
+  // per-target int16 overflow guard (max attainable score is bounded by
+  // min(m, n) * max|sub|), scalar fallback everywhere else
+  int32_t matmax = 0;
+  for (int x = 0; x < 26 * 26; ++x)
+    matmax = std::max(matmax, std::abs(matrix26[x]));
+  const bool striped_ok =
+      mode == SW && qlen > 0 && sift4g_simd::have_avx2() &&
+      gap_open < 30000 && gap_extend < 30000;
+  sift4g_simd::Profile16 prof;
+  if (striped_ok) sift4g_simd::build_profile16(q, qlen, matrix26, &prof);
   std::atomic<int32_t> next{0};
   auto worker = [&]() {
     std::vector<int32_t> hbuf, fbuf;
+    sift4g_simd::Striped16Buffers sbuf;
     for (;;) {
       int32_t idx = next.fetch_add(1);
       if (idx >= n_targets) return;
-      out_score[idx] =
-          score_one(q, qlen, base + starts[idx], lens[idx], matrix26,
-                    gap_open, gap_extend, mode, &hbuf, &fbuf);
+      const int32_t len = lens[idx];
+      if (striped_ok && len > 0 &&
+          static_cast<int64_t>(std::min<int32_t>(qlen, len)) * matmax <
+              30000) {
+        out_score[idx] = sift4g_simd::sw_striped16(
+            prof, base + starts[idx], len, gap_open, gap_extend, &sbuf);
+      } else {
+        out_score[idx] =
+            score_one(q, qlen, base + starts[idx], len, matrix26,
+                      gap_open, gap_extend, mode, &hbuf, &fbuf);
+      }
     }
   };
   std::vector<std::thread> threads;

@@ -136,3 +136,43 @@ def test_configured_thread_count_reaches_native_engines(monkeypatch):
     np.testing.assert_array_equal(
         got, np.array([r.score for r in want_recs], dtype=np.int64)
     )
+
+
+def test_striped_sw_matches_oracle_adversarial():
+    """The AVX2 striped SW path (native/sw_simd.cpp) == NumPy oracle on
+    shapes that stress the striping: query lengths around the 16-lane
+    segment boundaries, tiny/empty targets, gap-heavy penalties (go==ge),
+    identical sequences (dense lazy-F activity), and the int16 overflow
+    gate boundary (falls back to scalar)."""
+    from sift4g_tpu.align.batch import score_pairs_batch
+    from sift4g_tpu.align.dp_numpy import score_pair
+
+    rng = np.random.default_rng(99)
+    for m in (1, 15, 16, 17, 31, 33, 128, 255):
+        for go, ge in ((10, 1), (3, 3), (1, 1), (19, 7)):
+            scorer = create_scorer("BLOSUM_62", go, ge)
+            q = rng.integers(0, 26, m).astype(np.uint8)
+            targets = [
+                np.zeros(0, dtype=np.uint8),
+                np.array([4], dtype=np.uint8),
+                rng.integers(0, 26, 7).astype(np.uint8),
+                rng.integers(0, 26, 200).astype(np.uint8),
+                q.copy(),                      # identical: max diagonal
+                np.full(64, q[0], dtype=np.uint8),  # repeat run: lazy-F heavy
+            ]
+            got = score_pairs_batch(q, targets, scorer, "SW")
+            want = np.array(
+                [score_pair(q, t, scorer, "SW") for t in targets],
+                dtype=np.int64,
+            )
+            np.testing.assert_array_equal(got, want, err_msg=f"m={m} go={go} ge={ge}")
+
+    # overflow-gate boundary: min(m, n) * max|sub| >= 30000 must fall back
+    # to the scalar path and still be exact
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    m = 2800   # 2800 * 11 = 30800 > 30000 -> scalar
+    q = rng.integers(0, 26, m).astype(np.uint8)
+    t = q.copy()
+    got = score_pairs_batch(q, [t], scorer, "SW")
+    want = score_pair(q, t, scorer, "SW")
+    assert got[0] == want
