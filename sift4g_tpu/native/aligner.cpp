@@ -15,6 +15,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -239,7 +240,8 @@ void sift4g_score_batch(const uint8_t* q, int32_t qlen, const uint8_t* base,
     matmax = std::max(matmax, std::abs(matrix26[x]));
   const bool striped_ok =
       mode == SW && qlen > 0 && sift4g_simd::have_avx2() &&
-      gap_open < 30000 && gap_extend < 30000;
+      gap_open < 30000 && gap_extend < 30000 &&
+      std::getenv("SIFT4G_TPU_NO_SIMD") == nullptr;  // scalar A/B knob
   sift4g_simd::Profile16 prof;
   if (striped_ok) sift4g_simd::build_profile16(q, qlen, matrix26, &prof);
   std::atomic<int32_t> next{0};
