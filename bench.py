@@ -39,7 +39,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 FALLBACK_BASELINE_GCUPS = 0.83  # last measured native CPU (4-core host)
 
 
-def bench_grouped_pallas(groups=64, batch=1024, n=512, m=360, iters=6):
+def bench_grouped_pallas(groups=64, batch=1024, n=512, m=360, iters=10, warmups=3):
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +59,7 @@ def bench_grouped_pallas(groups=64, batch=1024, n=512, m=360, iters=6):
         q_all[g * m_pad : g * m_pad + m] = rng.integers(0, 26, m)
     targets = [
         jnp.asarray(rng.integers(0, 26, (groups, batch, n)).astype(np.int8))
-        for _ in range(iters + 1)
+        for _ in range(iters + warmups)
     ]
     lens = np.full((groups, batch), n, dtype=np.int32)
 
@@ -71,13 +71,18 @@ def bench_grouped_pallas(groups=64, batch=1024, n=512, m=360, iters=6):
     call = lambda t: np.asarray(
         sw_scores_pallas_grouped(*args, t, jnp.asarray(lens), m32, **kw)
     )
-    _ = call(targets[0])  # compile
+    # compile + a few untimed launches: first-process launches through the
+    # relay run ~20% slow even post-compile (measured 2026-08-18: 40.3 vs
+    # 48.3 GCUPS best-of-6 across two fresh processes) — warm the launch
+    # path before timing
+    for i in range(warmups):
+        _ = call(targets[i])
 
     cells = groups * m * batch * n
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
-        _ = call(targets[i + 1])
+        _ = call(targets[i + warmups])
         times.append(time.perf_counter() - t0)
     best = min(times)
     return cells / best / 1e9
