@@ -9,6 +9,10 @@ the full multi-host pipeline through the real CLI entry point.
 import os
 import sys
 
+# hermetic import: the spawned process must find the package even when the
+# repo isn't pip-installed (tests/ -> repo root)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> int:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]

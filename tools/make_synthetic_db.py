@@ -28,15 +28,24 @@ def random_seq(rng, n, p):
 
 
 def mutate(rng, codes, p, sub_rate=0.35, indel_rate=0.06):
-    out = []
-    for c in codes:
-        r = rng.random()
-        if r < indel_rate / 2:
-            continue  # deletion
-        if r < indel_rate:
-            out.append(rng.choice(STD, p=p))  # insertion
-        out.append(rng.choice(STD, p=p) if rng.random() < sub_rate else c)
-    return np.asarray(out, dtype=np.uint8)
+    # vectorized: per-position fate draw (delete / insert-before / keep),
+    # then a vectorized substitution mask over the kept+inserted residues
+    n = len(codes)
+    r = rng.random(n)
+    keep = r >= indel_rate / 2
+    ins = (r >= indel_rate / 2) & (r < indel_rate)
+    # expand: each kept position contributes 1 residue, +1 more if ins
+    reps = keep.astype(np.int64) + ins.astype(np.int64)
+    out = np.repeat(codes, reps)
+    # the first residue of every ins pair is a fresh random draw
+    starts = np.cumsum(reps) - reps
+    ins_pos = starts[ins]
+    out[ins_pos] = rng.choice(STD, size=len(ins_pos), p=p)
+    sub = rng.random(len(out)) < sub_rate
+    if ins_pos.size:  # inserted residues are already random; don't re-sub
+        sub[ins_pos] = False
+    out[sub] = rng.choice(STD, size=int(sub.sum()), p=p)
+    return out.astype(np.uint8)
 
 
 def write_fasta(path, names, seqs):
