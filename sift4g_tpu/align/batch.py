@@ -533,19 +533,18 @@ class BatchAligner:
         # optional grouped-batch width cap: tests bound interpret-mode work
         # with it (production leaves 0 = VMEM-budget policy only)
         self.b_cap = b_cap
-        # tail-group width policy for the grouped path.  "full" (default)
-        # pads every (query, rung) remainder to the bucket's full batch
-        # width; "pow2" shrinks the one tail group per (query, rung) to the
-        # smallest 256*2^k >= remainder.  Measured on the 2000q x 2M
-        # missense candidate distribution (tools /tmp simulation, round 2):
-        # padded/true cells 2.79x -> 1.79x with group and row counts
-        # unchanged, at the price of more distinct jit shapes (5 -> <=16)
-        # — a poor trade for a cold process on this relay (~10+ min/shape
-        # compile) but a good one for the serve daemon / warm processes.
-        # Scores are bit-identical either way (padding lanes are masked);
-        # tests assert equality across policies.
+        # tail-group width policy for the grouped path.  "pow2" (default)
+        # shrinks the one tail group per (query, rung) to the smallest
+        # 256*2^k >= remainder; "full" pads every remainder to the bucket's
+        # full batch width.  Chip A/B at 2000q x 2M missense (2026-08-19,
+        # docs/PLATFORM.md): pow2 cut padded/true cells 2.79x -> 1.79x and
+        # the warm align phase 83.1 -> 49.6 s; the feared extra-compile
+        # cold tax did not materialize (cold 524 vs 748 s — fewer padded
+        # cells also shrink cold DP time).  Scores are bit-identical
+        # either way (padding lanes are masked); tests assert equality
+        # across policies.  SIFT4G_TPU_TAIL_POLICY=full is the control.
         self.tail_policy = tail_policy or os.environ.get(
-            "SIFT4G_TPU_TAIL_POLICY", "full"
+            "SIFT4G_TPU_TAIL_POLICY", "pow2"
         )
         if self.tail_policy not in ("full", "pow2"):
             raise ValueError(

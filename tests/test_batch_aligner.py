@@ -98,5 +98,8 @@ def test_tail_policy_pow2_scores_identical():
     assert al._group_width(188, 512) == 256
     assert al._group_width(10, 512) == 256
     assert al._group_width(300, 4096) == 512
-    al_full = BatchAligner(scorer, backend="pallas", b_cap=512)
+    al_full = BatchAligner(scorer, backend="pallas", b_cap=512,
+                           tail_policy="full")
     assert al_full._group_width(188, 512) == 512
+    # pow2 is the production default (chip A/B 2026-08-19, PLATFORM.md)
+    assert BatchAligner(scorer, backend="pallas").tail_policy == "pow2"
