@@ -50,21 +50,24 @@ def _fmt2(x: float) -> str:
     return f"{x:.2f}"
 
 
+_KEEP_COLS = [c for c in range(26) if c not in _SKIP_COLS]
+_MATRIX_HEADER = (
+    "ID   UNK_ID; MATRIX\nAC   UNK_AC\nDE   UNK_DE\nMA   UNK_BL\n "
+    + "".join(f" {chr(c + ord('A'))}  " for c in _KEEP_COLS)
+    + " *   -\n"
+)
+# one C-level %-format per POSITION line ("%6.4f" % v is byte-identical
+# to f"{v:6.4f}"): at missense scale the previous per-cell f-string
+# writes (L x 23 x 20k queries) dominated the device-predict phase
+_MATRIX_LINE_FMT = " %6.4f " * len(_KEEP_COLS) + " 0.0000  0.0000\n"
+
+
 def write_matrix_original_format(matrix: np.ndarray, path: str) -> None:
     """matrix: (L, 26) float64 SIFT scores."""
+    body = matrix[:, _KEEP_COLS]
+    text = (_MATRIX_LINE_FMT * body.shape[0]) % tuple(body.ravel())
     with open(path, "w") as fp:
-        fp.write("ID   UNK_ID; MATRIX\nAC   UNK_AC\nDE   UNK_DE\nMA   UNK_BL\n")
-        fp.write(" ")
-        for aa_index in range(26):
-            if aa_index not in _SKIP_COLS:
-                fp.write(f" {chr(aa_index + ord('A'))}  ")
-        fp.write(" *   -\n")
-        for pos in range(matrix.shape[0]):
-            for aa_index in range(26):
-                if aa_index not in _SKIP_COLS:
-                    fp.write(f" {matrix[pos, aa_index]:6.4f} ")
-            fp.write(f" {0.0:6.4f}  {0.0:6.4f}\n")
-        fp.write("//\n")
+        fp.write(_MATRIX_HEADER + text + "//\n")
 
 
 def write_subst_predictions(
