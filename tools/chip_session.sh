@@ -1,6 +1,14 @@
 #!/bin/bash
-# Queued chip work for the next hardware session (round 3; relay down
-# since 2026-08-18).  Run steps MANUALLY one at a time — one TPU process
+# Queued chip work for the next hardware session.  2026-08-19 session
+# CLEARED the round-3 backlog: step 1 bench 48.3 GCUPS (earlier), step 2
+# screening A/B (ON wins, 83.1 vs 94.2 s align), step 4 tail A/B (pow2
+# wins 49.6 vs 83.1 s align — now the default), step 3 5M resident A/B
+# (see PLATFORM.md), plus the warm missense headline 77.4 s at 2000qx2M.
+# REMAINING queue: a production-shape make_grouped_sharded(kernel=
+# "pallas") single-chip sanity launch; G=128 under a warm serve daemon
+# (expect +5% kernel, 1049 s compile); a warm 2M e2e re-measure with the
+# vectorized matrix writer (expect predict 22.5 -> ~10 s).
+# Run steps MANUALLY one at a time — one TPU process
 # at a time on this machine (docs/PLATFORM.md), and a wedged compile can
 # take the relay down; probe between steps:
 #
