@@ -24,6 +24,22 @@ here.  vs_baseline is therefore measured-vs-measured.
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} plus a
 "baseline_gcups" field (the measured CPU number) and "roofline_pct" (the
 kernel's share of the measured VPU peak — docs/PLATFORM.md "Roofline").
+
+The record self-diagnoses relay-session health (VERDICT r3 item 1): a
+slow relay session is visibly distinguishable from a slow kernel because
+the JSON also carries
+* "marginal_gcups" — the kernel's overhead-free rate, measured in-session
+  with ONE compiled shape by varying the RUNTIME q_lens row count (the
+  ~30 ms launch tax and the row-count-independent planes prologue cancel
+  in the differential);
+* "roofline_gcups" — the DP row-engine ceiling RE-PROBED in this same
+  session (align/roofline.py), so "roofline_pct" divides same-session
+  numbers instead of a frozen 2026-08-17 constant;
+* the per-iteration spread ("gcups_iters") and the untimed warmup
+  convergence trail ("warmup_trail").
+Reading the record: value/roofline_pct low but marginal_roofline_pct
+~97-100% => the kernel is at speed and the session's launch tax is
+inflated; both low => a real kernel regression.
 """
 
 import json
@@ -39,8 +55,34 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 FALLBACK_BASELINE_GCUPS = 0.83  # last measured native CPU (4-core host)
 
 
-def bench_grouped_pallas(groups=64, batch=1024, n=512, m=360, iters=10, warmups=3):
-    import jax
+def bench_grouped_pallas(
+    groups=64,
+    batch=1024,
+    n=512,
+    m=360,
+    iters=10,
+    warmup_budget_s=90.0,
+    warmup_max=10,
+    m_lo=120,
+    marginal_iters=5,
+):
+    """Launch-amortized + marginal GCUPS of the production grouped kernel.
+
+    Returns a dict, not a float — the JSON record carries enough to tell a
+    slow relay session from a slow kernel (see the module docstring).
+
+    Warmup is a CONVERGENCE loop, not a fixed count: first-process
+    launches through the relay run slow even post-compile (measured
+    2026-08-18: 40.3 vs 48.3 GCUPS), and the round-3 official capture
+    showed a fixed 3 warmups is not always enough — keep launching
+    untimed (unique inputs) until the last 3 rates agree within 5% or the
+    budget expires.
+
+    The marginal rate reuses the SAME compiled shape: the row fori_loop
+    bound is the runtime q_lens prefetch scalar, so calls at q_len=m vs
+    q_len=m_lo differ only by (m - m_lo) DP rows — launch tax, planes
+    prologue (row-count-independent), and fetch cancel in the time delta.
+    """
     import jax.numpy as jnp
 
     from sift4g_tpu.align.pallas_sw import PAD_CODE, sw_scores_pallas_grouped
@@ -54,38 +96,83 @@ def bench_grouped_pallas(groups=64, batch=1024, n=512, m=360, iters=10, warmups=
     m_pad = -(-m // 64) * 64
     q_all = np.full(groups * m_pad, PAD_CODE, dtype=np.int32)
     q_off = (np.arange(groups) * m_pad).astype(np.int32)
-    q_len = np.full(groups, m, dtype=np.int32)
     for g in range(groups):
         q_all[g * m_pad : g * m_pad + m] = rng.integers(0, 26, m)
-    targets = [
-        jnp.asarray(rng.integers(0, 26, (groups, batch, n)).astype(np.int8))
-        for _ in range(iters + warmups)
-    ]
-    lens = np.full((groups, batch), n, dtype=np.int32)
+    lens = jnp.asarray(np.full((groups, batch), n, dtype=np.int32))
+    qa, qo = jnp.asarray(q_all), jnp.asarray(q_off)
+    qlen_hi = jnp.asarray(np.full(groups, m, dtype=np.int32))
+    qlen_lo = jnp.asarray(np.full(groups, m_lo, dtype=np.int32))
 
-    args = (jnp.asarray(q_all), jnp.asarray(q_off), jnp.asarray(q_len))
+    def new_slab():
+        return jnp.asarray(rng.integers(0, 26, (groups, batch, n)).astype(np.int8))
+
     # static bounds kept for shape parity with production calls (they gate
     # the int16 path, which is dead on v5e — docs/PLATFORM.md); the kernel
     # runs int32 with the unroll=2 production default
     kw = dict(max_qlen=m_pad, max_sub=11)
-    call = lambda t: np.asarray(
-        sw_scores_pallas_grouped(*args, t, jnp.asarray(lens), m32, **kw)
-    )
-    # compile + a few untimed launches: first-process launches through the
-    # relay run ~20% slow even post-compile (measured 2026-08-18: 40.3 vs
-    # 48.3 GCUPS best-of-6 across two fresh processes) — warm the launch
-    # path before timing
-    for i in range(warmups):
-        _ = call(targets[i])
+
+    def call(qlen, t):
+        return np.asarray(sw_scores_pallas_grouped(qa, qo, qlen, t, lens, m32, **kw))
 
     cells = groups * m * batch * n
-    times = []
-    for i in range(iters):
+
+    t0 = time.perf_counter()
+    _ = call(qlen_hi, new_slab())
+    compile_s = time.perf_counter() - t0
+
+    # pre-stage EVERY slab before the warmup loop: staging a slab right
+    # before its call leaves the 33.5 MB transfer in flight and the trail
+    # reads transfer settling (~15 GCUPS) instead of launch-path warmth
+    # (measured 2026-08-19); the first warmup launches absorb whatever
+    # staging is still outstanding
+    warm_slabs = [new_slab() for _ in range(warmup_max)]
+    timed_slabs = [new_slab() for _ in range(iters)]
+
+    # ---- warmup convergence loop (untimed for the record; rates logged)
+    trail = []
+    converged = False
+    deadline = time.monotonic() + warmup_budget_s
+    for t in warm_slabs:
+        if time.monotonic() >= deadline:
+            break
         t0 = time.perf_counter()
-        _ = call(targets[i + warmups])
+        _ = call(qlen_hi, t)
+        trail.append(cells / (time.perf_counter() - t0) / 1e9)
+        if len(trail) >= 3:
+            last3 = trail[-3:]
+            if max(last3) <= 1.05 * min(last3):
+                converged = True
+                break
+
+    # ---- timed best-of loop: unique pre-staged device inputs per call
+    times = []
+    for t in timed_slabs:
+        t0 = time.perf_counter()
+        _ = call(qlen_hi, t)
         times.append(time.perf_counter() - t0)
     best = min(times)
-    return cells / best / 1e9
+
+    # ---- marginal: q_len=m_lo calls on a subset of the same slabs (the
+    # (slab, qlen) arg pair is distinct, so no dispatch dedup)
+    lo_times = []
+    for t in timed_slabs[:marginal_iters]:
+        t0 = time.perf_counter()
+        _ = call(qlen_lo, t)
+        lo_times.append(time.perf_counter() - t0)
+    dt = best - min(lo_times)
+    marginal = (
+        groups * batch * n * (m - m_lo) / dt / 1e9 if dt > 1e-4 else None
+    )
+
+    return {
+        "gcups": cells / best / 1e9,
+        "gcups_median": cells / sorted(times)[len(times) // 2] / 1e9,
+        "gcups_iters": [round(cells / t / 1e9, 1) for t in times],
+        "marginal_gcups": round(marginal, 2) if marginal else None,
+        "warmup_trail": [round(r, 1) for r in trail],
+        "warmup_converged": converged,
+        "compile_s": round(compile_s, 1),
+    }
 
 
 def bench_xla_scan(batch=512, n=1024, m=1000, iters=8):
@@ -242,11 +329,11 @@ def _discover_tpu(jax, probe_port=8082, join_timeout=120):
     return None
 
 
-# Measured roofline: the exact SW row recurrence with a runtime row count
-# and no launch/planes/scalar overhead sustains this marginal rate on v5e
-# (tools/bench_ab.py dprow, 2026-08-17; docs/PLATFORM.md "Roofline").
-# The production kernel's marginal rate is 56-58 GCUPS (~97-100% of this);
-# the launch-amortized bench number carries the ~30 ms launch tax.
+# Frozen FALLBACK roofline (tools/bench_ab.py dprow, 2026-08-17): used
+# only when the in-run re-probe (align/roofline.py) fails — a frozen
+# denominator conflates kernel efficiency with session health, so the
+# official roofline_pct divides by the same-session probe whenever it
+# can, and "roofline_src" says which one was used.
 ROOFLINE_GCUPS = 58.24
 
 
@@ -289,9 +376,11 @@ def main():
         sys.stdout.flush()
         # a wedged PJRT init thread would block normal exit
         os._exit(0)
+    detail = {}
     if on_tpu:
         try:
-            gcups = _with_deadline(1200, bench_grouped_pallas)
+            detail = _with_deadline(1200, bench_grouped_pallas)
+            gcups = detail.pop("gcups")
             metric = "sw_score_gcups[pallas-grouped]"
         except Exception as exc:
             print(f"pallas bench failed ({exc}); falling back to xla", file=sys.stderr)
@@ -314,7 +403,28 @@ def main():
         "cpu_simd_gcups": round(cpu_simd, 3),
         "relay": "up" if on_tpu else "cpu-platform",
     }
-    if on_tpu and ROOFLINE_GCUPS:
+    out.update({k: v for k, v in detail.items() if v is not None})
+    if on_tpu and metric.startswith("sw_score_gcups[pallas"):
+        # re-probe the row-engine roofline IN THIS SESSION (after the timed
+        # loop, so the tiny probe cannot perturb the official number) —
+        # divides out relay-session mood from the percentage
+        roofline, src = ROOFLINE_GCUPS, "frozen-2026-08-17"
+        try:
+            from sift4g_tpu.align.roofline import dp_row_roofline
+
+            probe = _with_deadline(420, dp_row_roofline)
+            roofline, src = probe["gcups"], "in-run"
+            out["roofline_compile_s"] = probe["compile_s"]
+        except Exception as exc:
+            print(f"in-run roofline probe failed ({exc}); frozen", file=sys.stderr)
+        out["roofline_gcups"] = round(roofline, 2)
+        out["roofline_src"] = src
+        out["roofline_pct"] = round(100.0 * gcups / roofline, 1)
+        if detail.get("marginal_gcups"):
+            out["marginal_roofline_pct"] = round(
+                100.0 * detail["marginal_gcups"] / roofline, 1
+            )
+    elif on_tpu and ROOFLINE_GCUPS:
         out["roofline_pct"] = round(100.0 * gcups / ROOFLINE_GCUPS, 1)
     print(json.dumps(out))
     return 0

@@ -562,8 +562,11 @@ class BatchAligner:
         # kernel-launch counter: launches must scale with (bucket, G_CHUNK)
         # chunks, never with queries x buckets (VERDICT r1 item 1c)
         self.launches = 0
-        # HBM-resident database: grouped launches ship offsets, not bytes
-        # (single-device pallas only; the mesh path keeps slabs)
+        # HBM-resident database: grouped launches ship offsets, not bytes.
+        # Works single-device AND under a mesh (segments replicated per
+        # device, launches group-axis-sharded via
+        # parallel.sharded.make_grouped_resident_sharded — see
+        # _part_resident below and docs/PLATFORM.md "HBM-resident database")
         self.resident = resident
         if backend in ("xla", "pallas"):
             try:

@@ -213,92 +213,12 @@ def run_dprow(B=1024, N=512, go=10, ge=1, iters=6):
     rebuild, no SMEM query reads, no launch overhead (differential).
     Marginal rows/s x B x N = the cell rate the row engine can sustain;
     the production kernel's marginal GCUPS over this is the honest
-    roofline percentage."""
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    roofline percentage.  The probe itself lives in the package
+    (align/roofline.py) because bench.py re-runs it every official record."""
+    from sift4g_tpu.align.roofline import dp_row_roofline
 
-    NEGL = -(10 ** 7)
-    n_rounds = max(1, (N - 1).bit_length())
-
-    def kern(m_ref, out_ref, h_scr, f_scr, best_scr):
-        # DP state lives in VMEM scratch exactly like the production kernel
-        # (loop-carried (B, N) vregs trip Mosaic replicated-layout relayout
-        # bugs at this shape; scratch loads/stores normalize the layout)
-        col = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
-        s0 = (col % 11) - 4 + m_ref[1]
-        s1 = ((col + 5) % 13) - 6 - m_ref[1]
-        jge1 = (col + 1) * ge
-        goge = go + col * ge
-
-        h_scr[:] = jnp.zeros((B, N), jnp.int32)
-        f_scr[:] = jnp.full((B, N), NEGL, jnp.int32)
-        best_scr[:] = jnp.zeros((B, N), jnp.int32)
-
-        def shift_neg(x, k):
-            return jnp.where(col < k, NEGL, pltpu.roll(x, k, axis=1))
-
-        def shift1(x):
-            return pltpu.roll(x, 1, axis=1)
-
-        def row(i, _):
-            hp = h_scr[:]
-            fp = f_scr[:]
-            # vector condition: a scalar-cond where over (B, N) vectors hits
-            # the Mosaic replicated-layout bug (docs/PLATFORM.md int8 note)
-            s = jnp.where((col + i) % 2 == 0, s0, s1)
-            f = jnp.maximum(hp - go, fp - ge)
-            diag = jnp.where(col == 0, 0, shift1(hp))
-            g_ = jnp.maximum(jnp.maximum(diag + s, f), 0)
-            cmax = g_ + jge1
-            for r in range(n_rounds):
-                cmax = jnp.maximum(cmax, shift_neg(cmax, 1 << r))
-            e = jnp.maximum(0, shift_neg(cmax, 1)) - goge
-            h = jnp.maximum(g_, e)
-            h_scr[:] = h
-            f_scr[:] = f
-            best_scr[:] = jnp.maximum(best_scr[:], h)
-            return 0
-
-        jax.lax.fori_loop(0, m_ref[0], row, 0, unroll=False)
-        out_ref[:] = jnp.max(best_scr[:], axis=1, keepdims=True)
-
-    @jax.jit
-    def probe(m):
-        return pl.pallas_call(
-            kern,
-            out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((B, N), jnp.int32),
-                pltpu.VMEM((B, N), jnp.int32),
-                pltpu.VMEM((B, N), jnp.int32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
-            ),
-        )(m)
-
-    def timed(M, salt):
-        t0 = time.perf_counter()
-        _ = np.asarray(probe(jnp.asarray(np.array([M, salt], np.int32))))
-        return time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    timed(64, 0)
-    compile_s = time.perf_counter() - t0
-    lo, hi = 1_000, 4_000
-    t_lo = min(timed(lo, 1 + i) for i in range(iters))
-    t_hi = min(timed(hi, 100 + i) for i in range(iters))
-    gcups = B * N * (hi - lo) / (t_hi - t_lo) / 1e9
-    print(json.dumps({
-        "metric": "dp_row_engine_gcups_marginal",
-        "gcups": round(gcups, 2),
-        "t_lo_s": round(t_lo, 4), "t_hi_s": round(t_hi, 4),
-        "compile_s": round(compile_s, 1),
-    }))
+    out = dp_row_roofline(B=B, N=N, go=go, ge=ge, iters=iters)
+    print(json.dumps({"metric": "dp_row_engine_gcups_marginal", **out}))
 
 
 def run_unroll(groups=64, batch=1024, n=512, m=360, iters=6, u=2):
