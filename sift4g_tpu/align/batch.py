@@ -517,6 +517,7 @@ class BatchAligner:
         resident: "ResidentDB | None" = None,
         tail_policy: str = "",
         threads: int = 0,
+        cards: "tuple | None" = None,
     ):
         if backend == "auto":
             from . import best_backend
@@ -568,17 +569,25 @@ class BatchAligner:
         # parallel.sharded.make_grouped_resident_sharded — see
         # _part_resident below and docs/PLATFORM.md "HBM-resident database")
         self.resident = resident
+        # device selection (reference --cards, main.cpp:254-262): an
+        # explicit card list always builds a mesh over exactly those local
+        # devices (a 1-device mesh is chip-verified costless and bit-equal
+        # — docs/PLATFORM.md "Production-shape shard_map sanity"); without
+        # cards, a mesh is built only when >1 device exists
+        self.cards = tuple(cards) if cards else None
         if backend in ("xla", "pallas"):
             try:
                 import jax
 
-                if len(jax.devices()) > 1:
+                if self.cards or len(jax.devices()) > 1:
                     from ..parallel.sharded import make_mesh
 
-                    self._mesh = make_mesh()
+                    self._mesh = make_mesh(cards=self.cards)
                     # keep per-shard batches well-shaped
                     n_dev = self._mesh.devices.size
                     self.batch = _round_up(self.batch, n_dev)
+            except ValueError:
+                raise  # out-of-range --cards: user error, surface it
             except Exception:
                 self._mesh = None
 

@@ -2,8 +2,9 @@
 
 Mirrors the reference's 19-flag getopt surface (main.cpp:21-42, defaults at
 :68-91, validation at :163-186), plus TPU-native extras (--backend,
---devices).  The reference's --cards / --threads flags are accepted for
-drop-in compatibility; device placement is managed by JAX.
+--platform, --serve).  --cards selects local devices exactly like the
+reference's digit-list parser (main.cpp:254-262) and restricts the
+alignment mesh to them; -t drives the host fan-out and the native engines.
 """
 
 from __future__ import annotations
@@ -55,11 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory containing per-query .subst files")
     p.add_argument("--seq-id", type=int, default=100,
                    help="drop alignments this %% identical to the query (default: 100)")
-    # compatibility no-ops (device placement is JAX's job)
     p.add_argument("-t", "--threads", type=int, default=8,
                    help="host threads for per-query selection/prediction fan-out (default: 8)")
     p.add_argument("--cards", default="",
-                   help="accepted for compatibility; use JAX device flags instead")
+                   help="accelerator cards used for alignment, as a digit "
+                   "string exactly like the reference (e.g. '02' = local "
+                   "devices 0 and 2; main.cpp:254-262). Default: ALL local "
+                   "devices — a deliberate divergence from the reference, "
+                   "whose no-cards default is CPU-only (quirk Q10)")
     # TPU-native extras
     p.add_argument("--backend", default="auto",
                    choices=["auto", "xla", "numpy", "pallas", "native"],
@@ -187,6 +191,11 @@ def main(argv=None) -> int:
         return fail("invalid max alignments number")
     if args.threads <= 0:
         return fail("invalid thread number")
+    # digit-by-digit card list, exactly like the reference's getCudaCards
+    # (main.cpp:254-262); range validation happens at mesh construction
+    # where the device count is known
+    if args.cards and not args.cards.isdigit():
+        return fail(f"invalid cards list '{args.cards}' (digits only, e.g. '02')")
     if args.out and not os.path.isdir(args.out):
         return fail(f"invalid out directory path '{args.out}'")
     if args.subst and not os.path.isdir(args.subst):
@@ -231,6 +240,7 @@ def _run_one(args, query_path: str, host_ctx=None) -> None:
         overlap=args.overlap,
         resident_db=args.resident_db,
         multihost_shard=args.mh_shard,
+        cards=tuple(int(c) for c in args.cards) if args.cards else None,
     )
     if host_ctx is not None:
         from .parallel.multihost import run_pipeline_multihost

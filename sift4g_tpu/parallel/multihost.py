@@ -256,6 +256,7 @@ def run_pipeline_multihost(cfg, ctx: HostContext):
             metrics=metrics,
             record_range=(lo, hi),
             threads=cfg.threads,
+            cards=cfg.cards,
         )
         # winner merge: mirror of dbAlignmentsMerge
         # (database_alignment.cpp:97-104) across hosts

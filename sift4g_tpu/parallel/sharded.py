@@ -35,14 +35,33 @@ from ..align.xla import align_scores
 DB_AXIS = "db"
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = DB_AXIS) -> Mesh:
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis: str = DB_AXIS,
+    cards: Optional[tuple] = None,
+) -> Mesh:
     """1-D device mesh over the database axis.
 
     LOCAL devices only: in a multi-host run each host scores its own
     database shard on its own chips (docs/MULTIHOST.md) — cross-host
     merging is an explicit O(k) exchange, never a global scoring mesh.
-    Single-process runs see no difference."""
+    Single-process runs see no difference.
+
+    ``cards`` restricts the mesh to those LOCAL device indices, in the
+    given order — the reference's --cards list (main.cpp:254-262 parses
+    the digit string; database_alignment.cpp:80-86 fans alignment out over
+    exactly those GPUs).  Empty/None = all local devices.  Divergence from
+    quirk Q10 documented at the CLI: the reference with NO --cards runs
+    CPU-only; here the default is every local accelerator."""
     devices = jax.local_devices()
+    if cards:
+        bad = [c for c in cards if not (0 <= c < len(devices))]
+        if bad:
+            raise ValueError(
+                f"--cards indices {bad} out of range: {len(devices)} local "
+                f"device(s) available"
+            )
+        devices = [devices[c] for c in cards]
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))

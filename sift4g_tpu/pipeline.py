@@ -102,6 +102,8 @@ class PipelineConfig:
     # (each host owns a contiguous query slice end to end — the
     # missense/proteome mode, no cross-host merges)
     multihost_shard: str = "db"
+    # local device indices for alignment (reference --cards); None = all
+    cards: Optional[tuple] = None
 
 
 def align_database(
@@ -120,6 +122,7 @@ def align_database(
     record_range=None,
     resident_db: str = "auto",
     threads: int = 0,
+    cards: Optional[tuple] = None,
 ) -> List[List[AlignmentRecord]]:
     """Returns per-query alignment records, best-first (score desc,
     database index asc on ties — deterministic refinement of the
@@ -138,7 +141,9 @@ def align_database(
     relay measured 0.03-1 GB/s, so shipping the same bytes repeatedly
     dominates many-query align phases)."""
     print("** Aligning queries with candidate sequences **", file=log)
-    aligner = BatchAligner(scorer, mode=mode, backend=backend, threads=threads)
+    aligner = BatchAligner(
+        scorer, mode=mode, backend=backend, threads=threads, cards=cards
+    )
 
     results: List[List[AlignmentRecord]] = [[] for _ in queries]
     remaining = [list(ix) for ix in indices]
@@ -383,7 +388,7 @@ def _run_overlapped(
     log = cfg.log
     aligner = BatchAligner(
         scorer, mode=cfg.algorithm, backend=cfg.align_backend,
-        threads=cfg.threads,
+        threads=cfg.threads, cards=cfg.cards,
     )
     prov: List[dict] = [dict() for _ in queries]
     # Fetches go through the remote runtime with high latency variance
@@ -625,6 +630,7 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
             metrics=metrics,
             resident_db=cfg.resident_db,
             threads=cfg.threads,
+            cards=cfg.cards,
         )
 
     finish_pipeline(cfg, queries, records, metrics)

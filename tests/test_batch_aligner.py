@@ -101,5 +101,11 @@ def test_tail_policy_pow2_scores_identical():
     al_full = BatchAligner(scorer, backend="pallas", b_cap=512,
                            tail_policy="full")
     assert al_full._group_width(188, 512) == 512
-    # pow2 is the production default (chip A/B 2026-08-19, PLATFORM.md)
-    assert BatchAligner(scorer, backend="pallas").tail_policy == "pow2"
+    # pow2 is the production default (chip A/B 2026-08-19, PLATFORM.md);
+    # shield the assertion from a developer's A/B env var
+    import os
+    from unittest import mock
+
+    with mock.patch.dict(os.environ):
+        os.environ.pop("SIFT4G_TPU_TAIL_POLICY", None)
+        assert BatchAligner(scorer, backend="pallas").tail_policy == "pow2"
