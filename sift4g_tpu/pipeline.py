@@ -722,14 +722,31 @@ def finish_pipeline(
             from .sift.predict import prepare_rows
             from .sift.predict_batch import predict_matrix_batch
 
-            prepared = [
-                prepare_rows(
-                    queries[qi], all_names[qi], all_rows[qi],
-                    cfg.sequence_identity,
-                )
-                for qi in device_qis
-            ]
+            # row prep (Q7 cap + identity filter + vstack) is independent
+            # per query and NumPy-heavy — fan it over the host threads like
+            # the reference's per-query prediction tasks
+            # (sift_prediction.cpp:144-171)
+            if cfg.threads > 1 and len(device_qis) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
+                    prepared = list(ex.map(
+                        lambda qi: prepare_rows(
+                            queries[qi], all_names[qi], all_rows[qi],
+                            cfg.sequence_identity,
+                        ),
+                        device_qis,
+                    ))
+            else:
+                prepared = [
+                    prepare_rows(
+                        queries[qi], all_names[qi], all_rows[qi],
+                        cfg.sequence_identity,
+                    )
+                    for qi in device_qis
+                ]
             predict_matrix_batch(
-                [queries[qi] for qi in device_qis], prepared, cfg.out_path
+                [queries[qi] for qi in device_qis], prepared, cfg.out_path,
+                threads=cfg.threads,
             )
     metrics.report()

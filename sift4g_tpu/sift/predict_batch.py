@@ -63,13 +63,22 @@ def predict_matrix_batch(
     prepared_rows: List[np.ndarray],
     out_dir: str,
     q_chunk: int = Q_CHUNK,
+    threads: int = 8,
 ) -> None:
     """Score + write .SIFTprediction matrices for matrix-mode queries.
 
     prepared_rows[i]: (n_i, L_i) int codes with the query as row 0
     (predict.prepare_rows output — Q7 cap and identity filter applied).
+
+    Software-pipelined (VERDICT r3 item 3): JAX dispatch is async, so
+    chunk k+1 is packed and dispatched BEFORE chunk k's result is fetched
+    — the host packing and the per-query matrix-file writes (independent,
+    fanned over a thread pool like the reference's per-query prediction
+    tasks, sift_prediction.cpp:144-171) run under the device compute
+    instead of serializing with it.
     """
     import jax.numpy as jnp
+    from concurrent.futures import ThreadPoolExecutor
 
     from .scores_jax import sift_scores_from_rows_batch
 
@@ -77,28 +86,47 @@ def predict_matrix_batch(
     n_rows = [r.shape[0] for r in prepared_rows]
     buckets = bucket_shapes(lens, n_rows)
 
-    for (L_pad, n_pad), idxs in sorted(buckets.items()):
-        for start in range(0, len(idxs), q_chunk):
-            chunk = idxs[start : start + q_chunk]
-            Qc = len(chunk)
-            # fixed chunk width: the last partial chunk pads with all-'X'
-            # dummy queries (results discarded) instead of forcing a fresh
-            # compile shape
-            packed = np.full((q_chunk, n_pad, L_pad), X_CODE, dtype=np.int32)
-            n_valid = np.ones(q_chunk, dtype=np.int32)
-            for j, qi in enumerate(chunk):
-                r = prepared_rows[qi]
-                packed[j, : r.shape[0], : r.shape[1]] = r
-                n_valid[j] = r.shape[0]
-            scores = np.asarray(
-                sift_scores_from_rows_batch(
-                    jnp.asarray(packed), jnp.asarray(n_valid)
+    chunks = [
+        idxs[start : start + q_chunk]
+        for (_, _), idxs in sorted(buckets.items())
+        for start in range(0, len(idxs), q_chunk)
+    ]
+    shapes = {
+        qi: key for key, idxs in buckets.items() for qi in idxs
+    }
+
+    def dispatch(chunk):
+        L_pad, n_pad = shapes[chunk[0]]
+        # fixed chunk width: the last partial chunk pads with all-'X'
+        # dummy queries (results discarded) instead of forcing a fresh
+        # compile shape
+        packed = np.full((q_chunk, n_pad, L_pad), X_CODE, dtype=np.int32)
+        n_valid = np.ones(q_chunk, dtype=np.int32)
+        for j, qi in enumerate(chunk):
+            r = prepared_rows[qi]
+            packed[j, : r.shape[0], : r.shape[1]] = r
+            n_valid[j] = r.shape[0]
+        return sift_scores_from_rows_batch(jnp.asarray(packed), jnp.asarray(n_valid))
+
+    def write_one(args):
+        scores_row, qi = args
+        out_path = create_file_name(queries[qi].name, out_dir, ".SIFTprediction")
+        write_matrix_original_format(
+            scores_row[: lens[qi]].astype(np.float64), out_path
+        )
+
+    with ThreadPoolExecutor(max_workers=max(1, threads)) as pool:
+        pending = None  # (device result, chunk) one launch in flight
+        write_futs = []
+        for chunk in chunks + [None]:
+            nxt = dispatch(chunk) if chunk is not None else None
+            if pending is not None:
+                dev, prev = pending
+                scores = np.asarray(dev)  # the only blocking fetch
+                write_futs.extend(
+                    pool.submit(write_one, (scores[j], qi))
+                    for j, qi in enumerate(prev)
                 )
-            )
-            for j, qi in enumerate(chunk):
-                out_path = create_file_name(
-                    queries[qi].name, out_dir, ".SIFTprediction"
-                )
-                write_matrix_original_format(
-                    scores[j, : lens[qi]].astype(np.float64), out_path
-                )
+            pending = (nxt, chunk) if chunk is not None else None
+        for f in write_futs:
+            f.result()  # surface writer exceptions
