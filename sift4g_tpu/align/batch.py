@@ -551,6 +551,17 @@ class BatchAligner:
             raise ValueError(
                 f"tail_policy must be 'full' or 'pow2', got {self.tail_policy!r}"
             )
+        # cross-rung tail coalescing (VERDICT r3 item 2): a query's
+        # remainder targets from SMALLER rungs join the largest rung's tail
+        # group when the merged pow2 group costs fewer padded cells than
+        # separate per-rung tails — exact, because target lengths are
+        # masked at any rung >= the length, and every group still carries
+        # one query (cross-QUERY coalescing is impossible in this kernel:
+        # the substitution-plane select index is a scalar per row).
+        # SIFT4G_TPU_TAIL_COALESCE=0 is the A/B control.
+        self.tail_coalesce = os.environ.get(
+            "SIFT4G_TPU_TAIL_COALESCE", "1"
+        ) != "0"
         # grouped kernel implementation: "pallas" (Mosaic, production) or
         # "xla" (the exact portable twin — CPU-mesh tests use it because
         # Mosaic interpret mode under shard_map is pathologically slow).
@@ -599,6 +610,39 @@ class BatchAligner:
         while bw < count:
             bw *= 2
         return min(bw, bcap)
+
+    def _coalesce_tails(self, tails, b_for):
+        """Merge one (item, segment)'s per-rung remainder groups upward.
+
+        ``tails``: list of (n_pad, idx_array) — the sub-batch-width
+        remainder of each rung.  Greedy largest-rung-first: a smaller
+        rung's remainder joins the current pool at rung R when the merged
+        group costs fewer padded cells (_group_width(total) * R) than the
+        two separate groups AND fits rung R's batch cap.  Scores are
+        unchanged — the kernel masks every column past a target's length,
+        so a target is exact at any rung >= its length (the same invariant
+        the rung ladder itself relies on).  Returns [(n_pad, idx_array)].
+        """
+        if not self.tail_coalesce or len(tails) <= 1:
+            return tails
+        tails = sorted(tails, key=lambda t: -t[0])
+        out = []
+        R, pool = tails[0]
+        for r, idxs in tails[1:]:
+            cap = b_for(R)
+            merged = len(pool) + len(idxs)
+            cost_merged = self._group_width(merged, cap) * R
+            cost_split = (
+                self._group_width(len(pool), cap) * R
+                + self._group_width(len(idxs), b_for(r)) * r
+            )
+            if merged <= cap and cost_merged <= cost_split:
+                pool = np.concatenate([pool, idxs])
+            else:
+                out.append((R, pool))
+                R, pool = r, idxs
+        out.append((R, pool))
+        return out
 
     def _sharded_xla_fn(self):
         """Db-sharded XLA-scan scorer: the mesh fallback for target/query
@@ -780,6 +824,7 @@ class BatchAligner:
                 for i, t in enumerate(targets):
                     n_pad = _length_rung(t.shape[0], self.t_bucket)
                     per_np.setdefault((n_pad, 0), []).append(i)
+            tails = {}  # seg -> [(n_pad, remainder idx array)]
             for (n_pad, seg), idxs in per_np.items():
                 if 26 * n_pad * 256 > 14 * 1024 * 1024:
                     # even B=256 planes would not fit VMEM
@@ -789,10 +834,23 @@ class BatchAligner:
                         )
                     continue
                 bcap = b_for(n_pad)
-                for pos in range(0, len(idxs), bcap):
+                n_full = len(idxs) // bcap * bcap
+                for pos in range(0, n_full, bcap):
                     chunk_idx = np.asarray(idxs[pos : pos + bcap])
-                    bw = self._group_width(len(chunk_idx), bcap)
-                    buckets.setdefault((n_pad, bw, seg), []).append((item_idx, chunk_idx))
+                    buckets.setdefault((n_pad, bcap, seg), []).append((item_idx, chunk_idx))
+                if n_full < len(idxs):
+                    tails.setdefault(seg, []).append(
+                        (n_pad, np.asarray(idxs[n_full:]))
+                    )
+            for seg, tl_list in tails.items():
+                for n_pad, chunk_idx in self._coalesce_tails(tl_list, b_for):
+                    bw = self._group_width(len(chunk_idx), b_for(n_pad))
+                    # ascending target order restores the id-ascending row
+                    # invariant the screening word tie-order relies on
+                    # (screen_topk_words docstring)
+                    buckets.setdefault((n_pad, bw, seg), []).append(
+                        (item_idx, np.sort(chunk_idx))
+                    )
 
         matrix32 = self._matrix32_dev()
         devs = []      # (dev_scores (G_pad, B), B, groups)

@@ -109,3 +109,56 @@ def test_tail_policy_pow2_scores_identical():
     with mock.patch.dict(os.environ):
         os.environ.pop("SIFT4G_TPU_TAIL_POLICY", None)
         assert BatchAligner(scorer, backend="pallas").tail_policy == "pow2"
+
+
+def test_tail_coalescing_scores_identical_and_merges():
+    """Cross-rung tail coalescing: remainders from smaller rungs merge
+    into the largest rung's tail group when the padded-cell cost drops;
+    scores stay bit-identical (columns past a target's length are masked
+    at any rung), launches drop, and screening (which relies on
+    id-ascending rows within a group) keeps the exact survivor set."""
+    import os
+    from unittest import mock
+
+    rng = np.random.default_rng(29)
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    q = rng.integers(0, 26, 64).astype(np.uint8)
+    # three rungs' worth of targets, each count below the batch cap ->
+    # three per-rung remainders that should coalesce into ONE group
+    targets = (
+        [rng.integers(0, 26, int(rng.integers(10, 120))).astype(np.uint8)
+         for _ in range(40)]        # rung 128
+        + [rng.integers(0, 26, int(rng.integers(180, 250))).astype(np.uint8)
+           for _ in range(30)]      # rung 256
+        + [rng.integers(0, 26, int(rng.integers(300, 380))).astype(np.uint8)
+           for _ in range(20)]      # rung 384
+    )
+    items = [(q, targets)]
+    ref = BatchAligner(scorer, backend="numpy").scores_many(items)[0]
+
+    def run(coalesce):
+        with mock.patch.dict(os.environ,
+                             {"SIFT4G_TPU_TAIL_COALESCE": "1" if coalesce else "0"}):
+            al = BatchAligner(scorer, backend="pallas", b_cap=512)
+            al._mesh = None
+            al.grouped_impl = "xla"
+            out = al.scores_many(items)[0]
+            return out, al.launches
+
+    got_on, launches_on = run(True)
+    got_off, launches_off = run(False)
+    np.testing.assert_array_equal(got_on, ref)
+    np.testing.assert_array_equal(got_off, ref)
+    assert launches_on < launches_off, (launches_on, launches_off)
+
+    # screened path: survivor sets must match the dense filter exactly
+    from sift4g_tpu.align.batch import BatchAligner as BA
+
+    smin = int(np.median(ref))
+    with mock.patch.dict(os.environ, {"SIFT4G_TPU_TAIL_COALESCE": "1"}):
+        al = BA(scorer, backend="pallas", b_cap=512)
+        al._mesh = None
+        al.grouped_impl = "xla"
+        dense = al.scores_many_async(items, screen=([smin], 400))()[0]
+    want = np.where(ref >= smin, ref, 0)
+    np.testing.assert_array_equal(dense, want)
