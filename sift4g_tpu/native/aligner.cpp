@@ -36,94 +36,59 @@ struct AlignResult {
 };
 
 struct DpBuffers {
-  std::vector<int32_t> H, E, F;
+  std::vector<int32_t> H;      // the ONLY stored matrix (scalar path)
+  std::vector<int32_t> Frow;   // rolling F row for the fill
+  std::vector<int32_t> e_row;  // lazily rebuilt E row (traceback)
+  std::vector<int32_t> f_col;  // lazily rebuilt F column (traceback)
+  std::vector<int16_t> hcols;  // striped per-column H (SIMD path)
+  std::vector<int16_t> colmax; // per-column max of hcols
+  sift4g_simd::Striped16Buffers sbuf;
 };
 
-void align_one(const uint8_t* q, int m, const uint8_t* t, int n,
-               const int32_t* mat /* 26x26 */, int go, int ge, int mode,
-               AlignResult* out, DpBuffers* buf) {
-  const int w = n + 1;
-  const size_t cells = static_cast<size_t>(m + 1) * w;
-  // reuse thread-local buffers across pairs (assign keeps capacity)
-  std::vector<int32_t>& H = buf->H;
-  std::vector<int32_t>& E = buf->E;
-  std::vector<int32_t>& F = buf->F;
-  H.assign(cells, NEG);
-  E.assign(cells, NEG);
-  F.assign(cells, NEG);
-
-  H[0] = 0;
-  for (int j = 1; j <= n; ++j) {
-    H[j] = (mode == NW) ? -(go + (j - 1) * ge) : 0;
-    if (mode == NW) E[j] = H[j];
-  }
-  for (int i = 1; i <= m; ++i) {
-    int32_t v = (mode == NW || mode == HW) ? -(go + (i - 1) * ge) : 0;
-    H[static_cast<size_t>(i) * w] = v;
-    if (mode == NW || mode == HW) F[static_cast<size_t>(i) * w] = v;
-  }
-
+// Traceback from (ei, ej), generic over the H accessor (scalar int32
+// matrix or striped int16 columns).  Tie order DIAG > E > F, identical to
+// dp_numpy.py align_pair.  E and F are rebuilt lazily: E(i, .) is one
+// left-to-right pass over H row i, F(., j) one top-down pass over H
+// column j — the fill's own recurrence replayed on the final (write-once)
+// H values, so every compared value is bit-identical to a stored-matrix
+// version.  A row/column is rebuilt at most once per visit (cached).
+template <class HAcc>
+void traceback_from(HAcc HA, int ei, int ej, int m, int n, const uint8_t* q,
+                    const uint8_t* t, const int32_t* mat, int go, int ge,
+                    int mode, int32_t score, AlignResult* out,
+                    DpBuffers* buf) {
   const bool local = mode == SW;
-  for (int i = 1; i <= m; ++i) {
-    int32_t* Hi = H.data() + static_cast<size_t>(i) * w;
-    int32_t* Hp = H.data() + static_cast<size_t>(i - 1) * w;
-    int32_t* Ei = E.data() + static_cast<size_t>(i) * w;
-    int32_t* Fi = F.data() + static_cast<size_t>(i) * w;
-    int32_t* Fp = F.data() + static_cast<size_t>(i - 1) * w;
-    const int32_t* srow = mat + static_cast<size_t>(q[i - 1]) * 26;
-    int32_t e = NEG;
-    for (int j = 1; j <= n; ++j) {
-      int32_t f = std::max(Hp[j] - go, Fp[j] - ge);
-      Fi[j] = f;
-      int32_t g = std::max(Hp[j - 1] + srow[t[j - 1]], f);
-      if (local) g = std::max(g, 0);
-      e = std::max(Hi[j - 1] - go, e - ge);
-      Ei[j] = e;
-      Hi[j] = std::max(g, e);
-    }
-  }
-
-  // endpoint
-  int ei, ej;
-  int32_t score;
-  if (mode == NW) {
-    ei = m; ej = n; score = H[static_cast<size_t>(m) * w + n];
-  } else if (mode == SW) {
-    size_t best = 0;
-    for (size_t x = 1; x < H.size(); ++x)
-      if (H[x] > H[best]) best = x;  // first max wins (argmax semantics)
-    ei = static_cast<int>(best / w);
-    ej = static_cast<int>(best % w);
-    score = H[best];
-  } else if (mode == HW) {
-    ei = m; ej = 0;
-    const int32_t* Hm = H.data() + static_cast<size_t>(m) * w;
-    for (int j = 1; j <= n; ++j)
-      if (Hm[j] > Hm[ej]) ej = j;
-    score = Hm[ej];
-  } else {  // OV
-    int bj = 0;
-    const int32_t* Hm = H.data() + static_cast<size_t>(m) * w;
-    for (int j = 1; j <= n; ++j)
-      if (Hm[j] > Hm[bj]) bj = j;
-    int bi = 0;
-    for (int i = 1; i <= m; ++i)
-      if (H[static_cast<size_t>(i) * w + n] > H[static_cast<size_t>(bi) * w + n]) bi = i;
-    if (Hm[bj] >= H[static_cast<size_t>(bi) * w + n]) {
-      ei = m; ej = bj; score = Hm[bj];
-    } else {
-      ei = bi; ej = n; score = H[static_cast<size_t>(bi) * w + n];
-    }
-  }
-
-  // traceback (dp_numpy.py align_pair, tie order DIAG > E > F)
   std::vector<uint8_t>& moves = out->moves;
   moves.clear();
   int i = ei, j = ej;
   int state = 0;  // 0 = H, 1 = E, 2 = F
-  auto HA = [&](int a, int b) { return H[static_cast<size_t>(a) * w + b]; };
-  auto EA = [&](int a, int b) { return E[static_cast<size_t>(a) * w + b]; };
-  auto FA = [&](int a, int b) { return F[static_cast<size_t>(a) * w + b]; };
+  std::vector<int32_t>& e_row = buf->e_row;
+  std::vector<int32_t>& f_col = buf->f_col;
+  e_row.resize(n + 1);
+  f_col.resize(m + 1);
+  int e_valid = -1, f_valid = -1;
+  auto EA = [&](int a, int b) {
+    if (e_valid != a) {
+      int32_t e = NEG;
+      for (int jj = 1; jj <= n; ++jj) {
+        e = std::max(HA(a, jj - 1) - go, e - ge);
+        e_row[jj] = e;
+      }
+      e_valid = a;
+    }
+    return e_row[b];
+  };
+  auto FA = [&](int a, int b) {
+    if (f_valid != b) {
+      int32_t f = NEG;
+      for (int ii = 1; ii <= m; ++ii) {
+        f = std::max(HA(ii - 1, b) - go, f - ge);
+        f_col[ii] = f;
+      }
+      f_valid = b;
+    }
+    return f_col[a];
+  };
   for (;;) {
     if (state == 0) {
       if (i == 0 || j == 0) break;
@@ -168,6 +133,139 @@ void align_one(const uint8_t* q, int m, const uint8_t* t, int n,
   out->query_end = ei - 1;
   out->target_start = j;
   out->target_end = ej - 1;
+}
+
+void align_one(const uint8_t* q, int m, const uint8_t* t, int n,
+               const int32_t* mat /* 26x26 */, int go, int ge, int mode,
+               AlignResult* out, DpBuffers* buf) {
+  const int w = n + 1;
+  const size_t cells = static_cast<size_t>(m + 1) * w;
+  // Only H is materialized: E and F are single-row/column recurrences in
+  // their own axis (E(i,j) depends only on H[i][<j]; F(i,j) only on
+  // H[<i][j]), so the traceback rebuilds the one row/column it walks
+  // instead of storing full matrices — 3x less memory and no full-matrix
+  // NEG pre-fill (the old assign() wrote 36 bytes/cell before the DP even
+  // started).  Values and tie order are bit-identical to the stored-E/F
+  // version (property-tested vs the oracle, moves included).
+  std::vector<int32_t>& H = buf->H;
+  H.resize(cells);
+  std::vector<int32_t>& Frow = buf->Frow;
+  Frow.assign(w, NEG);
+
+  H[0] = 0;
+  for (int j = 1; j <= n; ++j)
+    H[j] = (mode == NW) ? -(go + (j - 1) * ge) : 0;
+  for (int i = 1; i <= m; ++i)
+    H[static_cast<size_t>(i) * w] =
+        (mode == NW || mode == HW) ? -(go + (i - 1) * ge) : 0;
+
+  const bool local = mode == SW;
+  for (int i = 1; i <= m; ++i) {
+    int32_t* Hi = H.data() + static_cast<size_t>(i) * w;
+    int32_t* Hp = H.data() + static_cast<size_t>(i - 1) * w;
+    const int32_t* srow = mat + static_cast<size_t>(q[i - 1]) * 26;
+    int32_t e = NEG;
+    int32_t diag = Hp[0];
+    for (int j = 1; j <= n; ++j) {
+      int32_t f = std::max(Hp[j] - go, Frow[j] - ge);
+      Frow[j] = f;
+      int32_t g = std::max(diag + srow[t[j - 1]], f);
+      diag = Hp[j];
+      if (local) g = std::max(g, 0);
+      e = std::max(Hi[j - 1] - go, e - ge);
+      Hi[j] = std::max(g, e);
+    }
+  }
+
+  // endpoint
+  int ei, ej;
+  int32_t score;
+  if (mode == NW) {
+    ei = m; ej = n; score = H[static_cast<size_t>(m) * w + n];
+  } else if (mode == SW) {
+    size_t best = 0;
+    for (size_t x = 1; x < H.size(); ++x)
+      if (H[x] > H[best]) best = x;  // first max wins (argmax semantics)
+    ei = static_cast<int>(best / w);
+    ej = static_cast<int>(best % w);
+    score = H[best];
+  } else if (mode == HW) {
+    ei = m; ej = 0;
+    const int32_t* Hm = H.data() + static_cast<size_t>(m) * w;
+    for (int j = 1; j <= n; ++j)
+      if (Hm[j] > Hm[ej]) ej = j;
+    score = Hm[ej];
+  } else {  // OV
+    int bj = 0;
+    const int32_t* Hm = H.data() + static_cast<size_t>(m) * w;
+    for (int j = 1; j <= n; ++j)
+      if (Hm[j] > Hm[bj]) bj = j;
+    int bi = 0;
+    for (int i = 1; i <= m; ++i)
+      if (H[static_cast<size_t>(i) * w + n] > H[static_cast<size_t>(bi) * w + n]) bi = i;
+    if (Hm[bj] >= H[static_cast<size_t>(bi) * w + n]) {
+      ei = m; ej = bj; score = Hm[bj];
+    } else {
+      ei = bi; ej = n; score = H[static_cast<size_t>(bi) * w + n];
+    }
+  }
+
+  traceback_from(
+      [&](int a, int b) { return H[static_cast<size_t>(a) * w + b]; },
+      ei, ej, m, n, q, t, mat, go, ge, mode, score, out, buf);
+}
+
+// SW traceback via the striped AVX2 int16 fill (sw_simd.cpp): ~17x the
+// scalar H fill per thread.  Exact under the int16 guard the score path
+// already uses (min(m, n) * max|sub| < 30000); per-column striped H is
+// final after lazy-F, and the traceback de-stripes on access.  Moves are
+// bit-identical to the scalar path (same traceback_from, same values) —
+// property-tested in tests/test_native_aligner.py.
+void align_one_striped(const sift4g_simd::Profile16& prof, const uint8_t* q,
+                       int m, const uint8_t* t, int n, const int32_t* mat,
+                       int go, int ge, AlignResult* out, DpBuffers* buf) {
+  const int seg_len = prof.seg_len;
+  const size_t row = static_cast<size_t>(seg_len) * 16;
+  buf->hcols.resize(static_cast<size_t>(n) * row);
+  buf->colmax.resize(n);
+  int32_t best = sift4g_simd::sw_striped16_cols(
+      prof, t, n, go, ge, &buf->sbuf, buf->hcols.data());
+  const int16_t* hc = buf->hcols.data();
+  // per-column maxes for the endpoint search (pad lanes hold 0 <= any
+  // positive max; the best <= 0 case never reads them)
+  for (int j = 0; j < n; ++j) {
+    int16_t cm = 0;
+    const int16_t* col = hc + static_cast<size_t>(j) * row;
+    for (size_t x = 0; x < row; ++x) cm = std::max(cm, col[x]);
+    buf->colmax[j] = cm;
+  }
+  auto HA = [&](int a, int b) -> int32_t {
+    if (a == 0 || b == 0) return 0;  // SW free boundaries
+    int p = a - 1;
+    return hc[static_cast<size_t>(b - 1) * row +
+              static_cast<size_t>(p % seg_len) * 16 + p / seg_len];
+  };
+  // endpoint: the scalar path scans H row-major with strict '>' — the
+  // FIRST cell holding the global max wins, i.e. the lexicographically
+  // smallest (i, j) among max cells
+  int ei = 0, ej = 0;
+  int32_t score = 0;
+  if (best > 0) {
+    score = best;
+    int bi = m + 1, bj = 0;
+    for (int j = 1; j <= n; ++j) {
+      if (buf->colmax[j - 1] != best) continue;
+      for (int p = 0; p < m; ++p) {
+        if (hc[static_cast<size_t>(j - 1) * row +
+               static_cast<size_t>(p % seg_len) * 16 + p / seg_len] == best) {
+          if (p + 1 < bi) { bi = p + 1; bj = j; }
+          break;
+        }
+      }
+    }
+    ei = bi; ej = bj;
+  }
+  traceback_from(HA, ei, ej, m, n, q, t, mat, go, ge, SW, score, out, buf);
 }
 
 // Score-only affine DP in linear memory (two rolling rows) — the honest
@@ -287,6 +385,19 @@ int sift4g_align_batch(const uint8_t* q, int32_t qlen, const uint8_t* targets,
   int nt = n_threads > 0 ? n_threads : (hw ? static_cast<int>(hw) : 4);
   nt = std::min<int>(nt, std::max<int32_t>(1, n_targets));
 
+  // striped AVX2 traceback fill (SW only): one shared read-only query
+  // profile, per-target int16 overflow guard — same gate as the score
+  // path (sift4g_score_batch)
+  int32_t matmax = 0;
+  for (int x = 0; x < 26 * 26; ++x)
+    matmax = std::max(matmax, std::abs(matrix26[x]));
+  const bool striped_ok =
+      mode == SW && qlen > 0 && sift4g_simd::have_avx2() &&
+      gap_open < 30000 && gap_extend < 30000 &&
+      std::getenv("SIFT4G_TPU_NO_SIMD") == nullptr;
+  sift4g_simd::Profile16 prof;
+  if (striped_ok) sift4g_simd::build_profile16(q, qlen, matrix26, &prof);
+
   std::atomic<int32_t> next{0};
   auto worker = [&]() {
     DpBuffers buf;
@@ -295,8 +406,14 @@ int sift4g_align_batch(const uint8_t* q, int32_t qlen, const uint8_t* targets,
       if (idx >= n_targets) return;
       const uint8_t* t = targets + offsets[idx];
       int n = static_cast<int>(offsets[idx + 1] - offsets[idx]);
-      align_one(q, qlen, t, n, matrix26, gap_open, gap_extend, mode,
-                &results[idx], &buf);
+      if (striped_ok && n > 0 &&
+          static_cast<int64_t>(std::min<int32_t>(qlen, n)) * matmax < 30000) {
+        align_one_striped(prof, q, qlen, t, n, matrix26, gap_open,
+                          gap_extend, &results[idx], &buf);
+      } else {
+        align_one(q, qlen, t, n, matrix26, gap_open, gap_extend, mode,
+                  &results[idx], &buf);
+      }
     }
   };
   std::vector<std::thread> threads;

@@ -137,6 +137,74 @@ __attribute__((target("avx2"))) int32_t sw_striped16(
   return best;
 }
 
+// Column-storing variant for the traceback engine (aligner.cpp): identical
+// DP to sw_striped16, plus a memcpy of the finished (post-lazy-F, exact)
+// striped H column into hcols.  Kept as a separate function so the
+// score-only hot path pays no store.
+__attribute__((target("avx2"))) int32_t sw_striped16_cols(
+    const Profile16& prof, const uint8_t* t, int n, int go, int ge,
+    Striped16Buffers* buf, int16_t* hcols) {
+  const int seg_len = prof.seg_len;
+  const size_t row = static_cast<size_t>(seg_len) * 16;
+  buf->h_a.assign(row, 0);
+  buf->h_b.assign(row, 0);
+  buf->e.assign(row, 0);
+  int16_t* pvHLoad = buf->h_a.data();
+  int16_t* pvHStore = buf->h_b.data();
+  int16_t* pvE = buf->e.data();
+  const __m256i vGapO = _mm256_set1_epi16(static_cast<int16_t>(go));
+  const __m256i vGapE = _mm256_set1_epi16(static_cast<int16_t>(ge));
+  const __m256i vZero = _mm256_setzero_si256();
+  __m256i vMax = vZero;
+
+#define LD(p, i) _mm256_loadu_si256(reinterpret_cast<const __m256i*>((p) + (i) * 16))
+#define ST(p, i, v) _mm256_storeu_si256(reinterpret_cast<__m256i*>((p) + (i) * 16), (v))
+
+  for (int j = 0; j < n; ++j) {
+    const int16_t* vP = prof.data.data() + static_cast<size_t>(t[j]) * row;
+    __m256i vF = vZero;
+    __m256i vH = shl1_epi16(LD(pvHStore, seg_len - 1));
+    std::swap(pvHLoad, pvHStore);
+    for (int i = 0; i < seg_len; ++i) {
+      vH = _mm256_adds_epi16(vH, LD(vP, i));
+      __m256i vE = LD(pvE, i);
+      vH = _mm256_max_epi16(vH, vE);
+      vH = _mm256_max_epi16(vH, vF);
+      vH = _mm256_max_epi16(vH, vZero);
+      vMax = _mm256_max_epi16(vMax, vH);
+      ST(pvHStore, i, vH);
+      const __m256i vHg = _mm256_subs_epi16(vH, vGapO);
+      ST(pvE, i, _mm256_max_epi16(_mm256_subs_epi16(vE, vGapE), vHg));
+      vF = _mm256_max_epi16(_mm256_subs_epi16(vF, vGapE), vHg);
+      vH = LD(pvHLoad, i);
+    }
+    vF = shl1_epi16(vF);
+    int i = 0;
+    __m256i vTemp = _mm256_subs_epi16(LD(pvHStore, 0), vGapO);
+    while (_mm256_movemask_epi8(_mm256_and_si256(
+        _mm256_cmpgt_epi16(vF, vTemp), _mm256_cmpgt_epi16(vF, vZero)))) {
+      __m256i vH2 = _mm256_max_epi16(LD(pvHStore, i), vF);
+      ST(pvHStore, i, vH2);
+      vMax = _mm256_max_epi16(vMax, vH2);
+      vF = _mm256_subs_epi16(vF, vGapE);
+      if (++i >= seg_len) {
+        i = 0;
+        vF = shl1_epi16(vF);
+      }
+      vTemp = _mm256_subs_epi16(LD(pvHStore, i), vGapO);
+    }
+    memcpy(hcols + static_cast<size_t>(j) * row, pvHStore,
+           row * sizeof(int16_t));
+  }
+#undef LD
+#undef ST
+  int16_t out[16];
+  _mm256_storeu_si256(reinterpret_cast<__m256i*>(out), vMax);
+  int32_t best = 0;
+  for (int k = 0; k < 16; ++k) best = std::max<int32_t>(best, out[k]);
+  return best;
+}
+
 bool have_avx2() { return __builtin_cpu_supports("avx2"); }
 
 #else  // !SIFT4G_X86
@@ -144,6 +212,8 @@ bool have_avx2() { return __builtin_cpu_supports("avx2"); }
 void build_profile16(const uint8_t*, int, const int32_t*, Profile16*) {}
 int32_t sw_striped16(const Profile16&, const uint8_t*, int, int, int,
                      Striped16Buffers*) { return -1; }
+int32_t sw_striped16_cols(const Profile16&, const uint8_t*, int, int, int,
+                          Striped16Buffers*, int16_t*) { return -1; }
 bool have_avx2() { return false; }
 
 #endif

@@ -18,6 +18,13 @@ struct Striped16Buffers {
 void build_profile16(const uint8_t* q, int m, const int32_t* mat, Profile16* p);
 int32_t sw_striped16(const Profile16& prof, const uint8_t* t, int n, int go,
                      int ge, Striped16Buffers* buf);
+// Like sw_striped16 but also stores each target column's final striped H
+// vector (exact after lazy-F) into hcols[j * seg_len * 16 ...] — the
+// traceback engine de-stripes on access: H(query pos p, col j) =
+// hcols[j * row + (p % seg_len) * 16 + p / seg_len].
+int32_t sw_striped16_cols(const Profile16& prof, const uint8_t* t, int n,
+                          int go, int ge, Striped16Buffers* buf,
+                          int16_t* hcols);
 bool have_avx2();
 
 }  // namespace sift4g_simd

@@ -176,3 +176,36 @@ def test_striped_sw_matches_oracle_adversarial():
     got = score_pairs_batch(q, [t], scorer, "SW")
     want = score_pair(q, t, scorer, "SW")
     assert got[0] == want
+
+
+def test_striped_traceback_moves_identical_adversarial():
+    """The AVX2 striped-H traceback path (align_one_striped) emits
+    byte-identical moves to the oracle on gappy homologs and tie-heavy
+    tiny-alphabet pairs — the cases where a wrong H cell or tie order
+    would diverge first."""
+    rng = np.random.default_rng(97)
+    scorer = create_scorer("BLOSUM_62", 10, 1)
+    for trial in range(24):
+        m = int(rng.integers(10, 300))
+        q = rng.integers(0, 26, m).astype(np.uint8)
+        kind = trial % 3
+        if kind == 0:
+            t = rng.integers(0, 26, int(rng.integers(5, 400))).astype(np.uint8)
+        elif kind == 1:  # homolog with indel runs
+            tt = q.copy().tolist()
+            for _ in range(int(rng.integers(1, 6))):
+                p = int(rng.integers(0, len(tt)))
+                if rng.random() < 0.5:
+                    tt[p:p] = rng.integers(0, 26, int(rng.integers(1, 30))).tolist()
+                else:
+                    del tt[p : p + int(rng.integers(1, 20))]
+            t = np.array(tt[:2000] or [0], dtype=np.uint8)
+        else:  # tie-heavy: tiny alphabet
+            q = rng.integers(0, 3, m).astype(np.uint8)
+            t = rng.integers(0, 3, int(rng.integers(5, 400))).astype(np.uint8)
+        g = align_pairs_batch(q, [t], scorer, "SW")[0]
+        w = align_pair(q, t, scorer, "SW")
+        assert g.score == w.score, trial
+        assert (g.query_start, g.query_end, g.target_start, g.target_end) == (
+            w.query_start, w.query_end, w.target_start, w.target_end), trial
+        np.testing.assert_array_equal(g.moves, w.moves)
