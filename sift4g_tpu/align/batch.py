@@ -566,8 +566,14 @@ class BatchAligner:
         # "xla" (the exact portable twin — CPU-mesh tests use it because
         # Mosaic interpret mode under shard_map is pathologically slow).
         # backend="xla" rides the SAME grouped packing/launch policy with
-        # the xla twin (VERDICT r2 item 8: one launch-policy code path)
-        self.grouped_impl = "xla" if backend == "xla" else "pallas"
+        # the xla twin (VERDICT r2 item 8: one launch-policy code path).
+        # SIFT4G_TPU_GROUPED_IMPL=xla is a TEST-ONLY escape hatch: it lets
+        # CPU-mesh tests exercise backend="pallas"-gated paths (the
+        # resident database requires backend pallas) through the twin.
+        self.grouped_impl = (
+            "xla" if backend == "xla"
+            else os.environ.get("SIFT4G_TPU_GROUPED_IMPL", "pallas")
+        )
         self._matrix32 = None
         self._mesh = None
         self._sharded_fns = {}

@@ -33,11 +33,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_multihost(cli_args, timeout=420):
+def _run_multihost(cli_args, timeout=420, extra_env=None):
     """Spawn 2 driver processes; returns after both exit 0."""
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env.update(extra_env or {})
     procs = [
         subprocess.Popen(
             [sys.executable, DRIVER, str(pid), "2", str(port)] + cli_args,
@@ -186,3 +187,49 @@ def test_multihost_query_sharded_matches_goldens(tmp_path):
         got = out / f"{name}.SIFTprediction"
         want = os.path.join(GOLDEN, f"{name}.SIFTprediction")
         assert filecmp.cmp(got, want, shallow=False), f"{name} differs"
+
+
+def test_multihost_screened_resident_matches_oracle(tmp_path):
+    """VERDICT r3 item 8: the multihost workload must also cover the
+    production screened + resident-eligible config.  2 hosts run
+    backend=pallas (grouped twin via SIFT4G_TPU_GROUPED_IMPL=xla — Mosaic
+    interpret under shard_map is pathologically slow on CPU meshes) with
+    --resident-db on and device-side screening active (default); outputs
+    must byte-equal a single-process NumPy-oracle run."""
+    data = tmp_path / "data"
+    subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(os.path.dirname(DRIVER)),
+                                      "tools", "make_synthetic_db.py"),
+         str(data), "--n-db", "6000", "--n-q", "3", "--mean-len", "220"],
+        check=True, capture_output=True,
+        cwd=os.path.dirname(os.path.dirname(DRIVER)),
+    )
+    q, db = str(data / "queries.fa"), str(data / "db.fa")
+
+    single = tmp_path / "single"
+    single.mkdir()
+    from sift4g_tpu.pipeline import PipelineConfig, run_pipeline
+
+    cfg = PipelineConfig(
+        query_path=q, database_path=db, out_path=str(single),
+        align_backend="numpy", max_candidates=300, sub_results=True,
+        log=open(os.devnull, "w"),
+    )
+    run_pipeline(cfg)
+
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    _run_multihost(
+        ["-q", q, "-d", db, "--out", str(multi),
+         "--backend", "pallas", "--resident-db", "on",
+         "--max-candidates", "300", "--sub-results"],
+        extra_env={"SIFT4G_TPU_GROUPED_IMPL": "xla"},
+    )
+
+    names = sorted(os.listdir(single))
+    assert names and names == sorted(os.listdir(multi))
+    for name in names:
+        assert filecmp.cmp(single / name, multi / name, shallow=False), (
+            f"{name} differs between oracle single-process and the "
+            f"screened resident 2-host run"
+        )
