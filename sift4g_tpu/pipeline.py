@@ -726,6 +726,9 @@ def finish_pipeline(
             # per query and NumPy-heavy — fan it over the host threads like
             # the reference's per-query prediction tasks
             # (sift_prediction.cpp:144-171)
+            import time as _time
+
+            t_prep = _time.perf_counter()
             if cfg.threads > 1 and len(device_qis) > 1:
                 from concurrent.futures import ThreadPoolExecutor
 
@@ -745,8 +748,9 @@ def finish_pipeline(
                     )
                     for qi in device_qis
                 ]
+            metrics.add("predict.prep", seconds=_time.perf_counter() - t_prep)
             predict_matrix_batch(
                 [queries[qi] for qi in device_qis], prepared, cfg.out_path,
-                threads=cfg.threads,
+                threads=cfg.threads, metrics=metrics,
             )
     metrics.report()

@@ -64,6 +64,7 @@ def predict_matrix_batch(
     out_dir: str,
     q_chunk: int = Q_CHUNK,
     threads: int = 8,
+    metrics=None,
 ) -> None:
     """Score + write .SIFTprediction matrices for matrix-mode queries.
 
@@ -115,18 +116,31 @@ def predict_matrix_batch(
             scores_row[: lens[qi]].astype(np.float64), out_path
         )
 
+    import time as _time
+
+    t_pack = t_fetch = 0.0
     with ThreadPoolExecutor(max_workers=max(1, threads)) as pool:
         pending = None  # (device result, chunk) one launch in flight
         write_futs = []
         for chunk in chunks + [None]:
+            t0 = _time.perf_counter()
             nxt = dispatch(chunk) if chunk is not None else None
+            t_pack += _time.perf_counter() - t0
             if pending is not None:
                 dev, prev = pending
+                t0 = _time.perf_counter()
                 scores = np.asarray(dev)  # the only blocking fetch
+                t_fetch += _time.perf_counter() - t0
                 write_futs.extend(
                     pool.submit(write_one, (scores[j], qi))
                     for j, qi in enumerate(prev)
                 )
             pending = (nxt, chunk) if chunk is not None else None
+        t0 = _time.perf_counter()
         for f in write_futs:
             f.result()  # surface writer exceptions
+        t_fetch += 0.0  # writer drain is below
+    if metrics is not None:
+        metrics.add("predict.pack", seconds=t_pack)
+        metrics.add("predict.fetch", seconds=t_fetch)
+        metrics.add("predict.writedrain", seconds=_time.perf_counter() - t0)

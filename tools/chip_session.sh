@@ -1,24 +1,22 @@
 #!/bin/bash
-# Queued chip work for the next hardware session.  Status as of round 4
-# start (2026-08-19): the round-3 backlog is CLEARED — bench verified at
-# 48.3 GCUPS (builder session; the round-3 DRIVER capture read 39.978 —
-# see VERDICT r3 weak #1 and the bench.py self-diagnosis rework),
-# screening A/B (ON wins), tail A/B (pow2 wins, now default), 5M resident
-# A/B (118.7 vs 138.6 s), production-shape sharded-pallas sanity
-# (48.2 vs 48.3 GCUPS bit-equal, commit 0324c6e), and the matrix writer
-# vectorization (predict 26.8 -> 12.1 s at 2000 files in the 5M arms).
+# Queued chip work.  Round-4 session (2026-08-20) COMPLETED: reworked
+# bench validated twice (47.9-48.3 GCUPS, 85.8-86.4% of in-run roofline,
+# marginal 104%); 2000q x 2M warm headline 52.3 s (arms: 76.7 pre-
+# coalescing -> 57.3 coalescing -> 52.3 + striped traceback), outputs
+# byte-identical, cold arms 314-1223 s (pure compile-service mood).
 #
-# GENUINELY OPEN A/Bs:
-#   a. Reworked bench.py validation: convergence warmup + marginal_gcups +
-#      in-run roofline.  Expect value >= 47, marginal_roofline_pct 97-100.
-#        timeout 2400 python bench.py
-#   b. Fresh 2000q x 2M e2e re-measure with the vectorized matrix writer +
-#      predict-phase host work (round-4): expect predict 22.5 -> <8 s.
-#        timeout 3600 python tools/bench_pipeline.py /tmp/mq2m --resident-db on --repeat
-#   c. Padding-density arms (VERDICT r3 item 2): remainder-group
-#      coalescing / denser ladder — warm align target <= ~35 s (from 44.4).
-#   d. G=128 under a warm serve daemon (expect +5% kernel, 1049 s compile
-#      — daemon-only, never in the bench window).
+# GENUINELY OPEN:
+#   a. 5M re-measure with all round-4 levers (dataset /tmp/mq5m):
+#        timeout 3600 python tools/bench_pipeline.py /tmp/mq5m --resident-db on --predict-backend device --repeat
+#      (round-3 record 118.7 s warm; expect ~85-95 s)
+#   b. Proteome-scale missense: 20k queries x 2M (generate first,
+#      CPU-heavy — do not generate while a chip arm is timing):
+#        python tools/make_synthetic_db.py /tmp/mq20k --n-db 2000000 --n-q 20000
+#        timeout 7200 python tools/bench_pipeline.py /tmp/mq20k --resident-db on --predict-backend device --repeat
+#   c. G=128 grids at serve-daemon warmth (expect +5% kernel; 1049 s
+#      compile — daemon-only, never in the bench window).
+#   d. Denser 64-base rung ladder at daemon warmth (x1.29 -> x1.24,
+#      2x jit shapes — same caveat).
 #
 # Run steps MANUALLY one at a time — one TPU process at a time on this
 # machine (docs/PLATFORM.md), and a wedged compile can take the relay
