@@ -122,6 +122,14 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float), c_i64,   # xlogx table, size
             ctypes.c_float, ctypes.c_double,         # threshold, kLog_2_20
         ]
+    if hasattr(lib, "sift4g_extract"):  # stale .so tolerance
+        lib.sift4g_extract.restype = None
+        lib.sift4g_extract.argtypes = [
+            c_u8_p, c_i64_p,                         # moves, move offsets (n+1)
+            c_i64_p, c_i64_p,                        # query/target starts
+            c_u8_p, c_i64_p,                         # tcodes, tcode offsets (n+1)
+            c_i64, c_i64, c_u8_p,                    # n, L, rows out (X-filled)
+        ]
     return lib
 
 

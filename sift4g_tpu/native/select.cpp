@@ -49,17 +49,28 @@ float median_q1(float* a, int64_t len) {
 extern "C" {
 
 // rows: (n, L) uint8 letter codes ('X' == 23 is the gap/flank marker).
-// xlogx: (tab_size, tab_size) float32, xlogx[num*tab_size + den] =
-//        f32(num/den * log2(num/den)), rows/cols 0 zeroed; tab_size > n.
+// xlogx_t: (tab_size, tab_size) float32 DENOMINATOR-MAJOR transpose,
+//        xlogx_t[den*tab_size + num] = f32(num/den * log2(num/den)),
+//        rows/cols 0 zeroed; tab_size > n.  Denominator-major puts a
+//        position's whole entropy sum (den = valid[j] fixed, num = the
+//        small per-aa counts) inside one table row — the numerator-major
+//        layout cost a tab_size-strided gather per nonzero aa.
 // Returns the selected prefix length (quirk Q8 semantics: the first prefix
 // whose median <= threshold, else n).  The caller handles the
 // threshold >= kLog_2_20 early-out (returns 0 before calling).
+//
+// Per-position occupancy bitmasks make the inner loop iterate only the
+// amino acids actually observed (homolog-heavy missense columns hold 1-4
+// distinct letters, not 26); ascending-bit iteration preserves the
+// reference's ascending-aa f32 accumulation order (quirk Q9), and
+// skipping zero counts is exactly the reference's count>0 test.
 int64_t sift4g_select(const uint8_t* rows, int64_t n, int64_t L,
-                      const float* xlogx, int64_t tab_size,
+                      const float* xlogx_t, int64_t tab_size,
                       float threshold, double log_2_20) {
     if (n <= 0 || L <= 0) return 0;
     std::vector<int16_t> counts((size_t)L * 26, 0);
     std::vector<int32_t> valid((size_t)L, 0);
+    std::vector<uint32_t> occ((size_t)L, 0);
     std::vector<float> pf((size_t)L);
     for (int64_t p = 0; p < n; ++p) {
         const uint8_t* row = rows + p * L;
@@ -68,21 +79,59 @@ int64_t sift4g_select(const uint8_t* rows, int64_t n, int64_t L,
             if (c != 23) {
                 ++counts[(size_t)j * 26 + c];
                 ++valid[j];
+                occ[j] |= 1u << c;
             }
         }
         for (int64_t j = 0; j < L; ++j) {
             const int16_t* cj = &counts[(size_t)j * 26];
-            const float* tv = xlogx + valid[j];  // column = den
+            const float* tv = xlogx_t + (size_t)valid[j] * tab_size;
             float s = 0.0f;
-            for (int aa = 0; aa < 26; ++aa) {    // ascending aa order (Q9)
-                int16_t c = cj[aa];
-                if (c) s = s + tv[(int64_t)c * tab_size];
+            uint32_t m = occ[j];
+            while (m) {                          // ascending aa order (Q9)
+                const int aa = __builtin_ctz(m);
+                m &= m - 1;
+                s = s + tv[cj[aa]];
             }
             pf[j] = (float)((double)s + log_2_20);
         }
         if (median_q1(pf.data(), L) <= threshold) return p + 1;
     }
     return n;
+}
+
+// Alignment-string extraction (reference aligmentStr replay,
+// select_alignments.cpp:244-300, quirk Q6): one scalar pass over the
+// concatenated move streams.  rows (n, L) arrives pre-filled with 'X'
+// (23); MOVE_DIAG (0) copies the target letter, MOVE_LEFT (1) advances
+// only the target cursor (target insertions emit nothing), MOVE_UP (2)
+// advances only the query cursor (stays 'X').  The numpy twin in
+// sift/select.py is memory-traffic-bound at missense scale (~10 ms per
+// 400-record query on this host); this loop is ~0.3 ms.
+void sift4g_extract(const uint8_t* moves, const int64_t* moff,
+                    const int64_t* qstart, const int64_t* tstart,
+                    const uint8_t* tcodes, const int64_t* toff,
+                    int64_t n, int64_t L, uint8_t* rows) {
+    for (int64_t r = 0; r < n; ++r) {
+        const uint8_t* mv = moves + moff[r];
+        const int64_t mlen = moff[r + 1] - moff[r];
+        const uint8_t* tc = tcodes + toff[r];
+        const int64_t tn = toff[r + 1] - toff[r];
+        uint8_t* row = rows + r * L;
+        int64_t qi = qstart[r], ti = tstart[r];
+        for (int64_t k = 0; k < mlen; ++k) {
+            const uint8_t m = mv[k];
+            if (m == 1) {           // MOVE_LEFT
+                ++ti;
+            } else if (m == 2) {    // MOVE_UP
+                ++qi;
+            } else {                // MOVE_DIAG
+                if (qi >= L || ti >= tn) break;  // defensive: corrupt path
+                row[qi] = tc[ti];
+                ++qi;
+                ++ti;
+            }
+        }
+    }
 }
 
 }  // extern "C"

@@ -33,7 +33,7 @@ X_CODE = ord("X") - ord("A")  # 23
 # at missense scale (measured ~120 ms/query at n=400 near-identical rows).
 # Row 0 / col 0 are zero: a cum==0 lookup IS the reference's count>0 skip.
 # Values are bit-identical to the direct computation (same f32 op chain).
-_XLOGX = {"entry": (0, None)}  # (size, table), published atomically
+_XLOGX = {"entry": (0, None, None)}  # (size, table, transpose), atomic publish
 
 
 def _xlogx_table(cap: int) -> np.ndarray:
@@ -41,9 +41,23 @@ def _xlogx_table(cap: int) -> np.ndarray:
     fan-out: the caller always receives the table IT validated/built (a
     racing thread's publish can never hand out a smaller table), and a
     smaller build never replaces a larger published one."""
-    size, tab = _XLOGX["entry"]
+    size, tab, _ = _XLOGX["entry"]
     if size > cap:
         return tab
+    return _xlogx_build(cap)[0]
+
+
+def _xlogx_table_t(cap: int) -> np.ndarray:
+    """Denominator-major transpose of the same table (bit-identical
+    values) — the native select's layout: a position's whole entropy sum
+    (fixed denominator, small numerators) reads one contiguous row."""
+    size, _, tab_t = _XLOGX["entry"]
+    if size > cap:
+        return tab_t
+    return _xlogx_build(cap)[1]
+
+
+def _xlogx_build(cap: int):
     size = 1
     while size <= cap:
         size *= 2
@@ -53,9 +67,10 @@ def _xlogx_table(cap: int) -> np.ndarray:
         tab = (t * np.log2(t)).astype(np.float32)
     tab[0, :] = np.float32(0.0)
     tab[:, 0] = np.float32(0.0)
+    tab_t = np.ascontiguousarray(tab.T)
     if size > _XLOGX["entry"][0]:
-        _XLOGX["entry"] = (size, tab)
-    return tab
+        _XLOGX["entry"] = (size, tab, tab_t)
+    return tab, tab_t
 
 
 def _native_select(rows: np.ndarray, n: int, L: int, threshold) -> "int | None":
@@ -69,39 +84,103 @@ def _native_select(rows: np.ndarray, n: int, L: int, threshold) -> "int | None":
         return None
     import ctypes
 
-    tab = _xlogx_table(n)
+    tab_t = _xlogx_table_t(n)
     r = np.ascontiguousarray(rows, dtype=np.uint8)
     return int(lib.sift4g_select(
         r.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         n, L,
-        tab.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        tab.shape[0],
+        tab_t.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        tab_t.shape[0],
         ctypes.c_float(float(threshold)),
         ctypes.c_double(LOG_2_20),
     ))
 
 
+def _native_extract(records, rows, moves, mlens, tlens, tcodes) -> bool:
+    """native/select.cpp sift4g_extract: one scalar pass over the
+    concatenated move streams (the numpy replay below is memory-traffic-
+    bound at missense scale).  False -> caller falls through to numpy."""
+    from .. import native
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "sift4g_extract"):
+        return False
+    import ctypes
+
+    n = len(records)
+    moff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(mlens, out=moff[1:])
+    toff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tlens, out=toff[1:])
+    q0 = np.fromiter((r.query_start for r in records), dtype=np.int64, count=n)
+    t0 = np.fromiter((r.target_start for r in records), dtype=np.int64, count=n)
+    moves = np.ascontiguousarray(moves, dtype=np.uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.sift4g_extract(
+        moves.ctypes.data_as(u8p), moff.ctypes.data_as(i64p),
+        q0.ctypes.data_as(i64p), t0.ctypes.data_as(i64p),
+        tcodes.ctypes.data_as(u8p), toff.ctypes.data_as(i64p),
+        n, rows.shape[1], rows.ctypes.data_as(u8p),
+    )
+    return True
+
+
 def extract_alignment_strings(
     query: Chain, records: List[AlignmentRecord]
 ) -> Tuple[List[str], np.ndarray]:
-    """Returns (target names, rows (n, L) uint8 letter codes)."""
+    """Returns (target names, rows (n, L) uint8 letter codes).
+
+    The MOVE replay (aligmentStr, select_alignments.cpp:244-300) is
+    vectorized ACROSS records: all move arrays concatenate into one
+    stream with per-record cumsum resets, so a 400-record query costs
+    ~15 numpy dispatches total instead of ~8 per record (the "Python
+    record plumbing" half of the select phase at missense scale).
+    Semantics: MOVE_LEFT (target insertion) advances only the target
+    cursor and emits nothing; MOVE_UP leaves 'X' (the row default);
+    MOVE_DIAG copies the target letter at its cursor (quirk Q6)."""
     L = len(query)
-    rows = np.full((len(records), L), X_CODE, dtype=np.uint8)
-    names = []
-    for r, rec in enumerate(records):
-        names.append(rec.target_name)
-        moves = rec.moves
-        if moves.shape[0] == 0:
-            continue
-        # vectorized MOVE replay: MOVE_LEFT (target insertion) advances only
-        # the target cursor and emits nothing; MOVE_UP leaves 'X' (the row
-        # default); MOVE_DIAG copies the target letter at its cursor
-        adv_q = moves != MOVE_LEFT
-        adv_t = moves != MOVE_UP
-        qpos = rec.query_start + np.cumsum(adv_q) - adv_q
-        tpos = rec.target_start + np.cumsum(adv_t) - adv_t
-        diag = moves == MOVE_DIAG
-        rows[r, qpos[diag]] = rec.target_codes[tpos[diag]]
+    n = len(records)
+    rows = np.full((n, L), X_CODE, dtype=np.uint8)
+    names = [rec.target_name for rec in records]
+    if n == 0:
+        return names, rows
+    mlens = np.fromiter(
+        (rec.moves.shape[0] for rec in records), dtype=np.int64, count=n
+    )
+    total = int(mlens.sum())
+    if total == 0:
+        return names, rows
+    moves = np.concatenate([rec.moves for rec in records])
+    tcodes = np.concatenate(
+        [np.asarray(rec.target_codes, dtype=np.uint8) for rec in records]
+    )
+    tlens = np.fromiter(
+        (len(rec.target_codes) for rec in records), dtype=np.int64, count=n
+    )
+    if _native_extract(records, rows, moves, mlens, tlens, tcodes):
+        return names, rows
+    # clip: an empty record's start can equal `total` (its cq0/ct0 values
+    # are never consumed — rec_of skips zero-length records)
+    rec_starts = np.minimum(
+        np.concatenate(([0], np.cumsum(mlens)[:-1])), total - 1
+    )
+    rec_of = np.repeat(np.arange(n, dtype=np.int64), mlens)
+    q0 = np.fromiter((rec.query_start for rec in records), dtype=np.int64, count=n)
+    t0 = np.fromiter((rec.target_start for rec in records), dtype=np.int64, count=n)
+    t_base = np.cumsum(tlens) - tlens  # record offsets into tcodes
+
+    adv_q = moves != MOVE_LEFT
+    adv_t = moves != MOVE_UP
+    cq = np.cumsum(adv_q)
+    ct = np.cumsum(adv_t)
+    # cumsum value just BEFORE each record's first move, broadcast back
+    cq0 = (cq[rec_starts] - adv_q[rec_starts])[rec_of]
+    ct0 = (ct[rec_starts] - adv_t[rec_starts])[rec_of]
+    qpos = q0[rec_of] + (cq - cq0) - adv_q
+    tpos = t0[rec_of] + (ct - ct0) - adv_t
+    diag = moves == MOVE_DIAG
+    rows[rec_of[diag], qpos[diag]] = tcodes[(t_base[rec_of] + tpos)[diag]]
     return names, rows
 
 

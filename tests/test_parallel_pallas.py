@@ -175,24 +175,41 @@ def test_sharded_long_targets_fall_back_safely():
 
 
 @pytest.mark.parametrize("backend", ["pallas", "xla"])
-def test_sharded_launches_scale_with_buckets_not_queries(backend):
+def test_sharded_launches_scale_with_buckets_not_queries(backend, monkeypatch):
     """VERDICT r1 item 1c (+ r2 item 8): kernel launches scale with
     (rung bucket, G_CHUNK) chunks, never with queries x buckets — for
-    BOTH backends, which now share one grouped launch-policy path."""
+    BOTH backends, which now share one grouped launch-policy path.
+
+    Both tail-coalescing policies are asserted: with coalescing OFF each
+    rung launches once (2 rungs -> 2 launches); with it ON (production
+    default) every query's 128-rung remainder merges into its 512-rung
+    tail group (fewer padded cells), collapsing the whole batch to ONE
+    launch — byte-equal scores either way."""
     rng = np.random.default_rng(7)
     scorer = create_scorer("BLOSUM_62", 10, 1)
     items = []
-    for _ in range(6):   # 6 queries x 2 rungs (128/512) = 12 groups, 2 launches
+    for _ in range(6):   # 6 queries x 2 rungs (128/512) = 12 groups
         q = rng.integers(0, 26, 50).astype(np.uint8)
         targets = [rng.integers(0, 26, 100).astype(np.uint8) for _ in range(3)]
         targets += [rng.integers(0, 26, 500).astype(np.uint8) for _ in range(3)]
         items.append((q, targets))
+    ref = BatchAligner(scorer, backend="numpy").scores_many(items)
+
+    monkeypatch.setenv("SIFT4G_TPU_TAIL_COALESCE", "0")
     al = _aligner(scorer, backend=backend)
     assert al._mesh is not None
     got = al.scores_many(items)
     assert al.launches == 2, (
         f"expected one launch per (rung, G_CHUNK) bucket chunk, got {al.launches}"
     )
-    ref = BatchAligner(scorer, backend="numpy").scores_many(items)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(g, r)
+
+    monkeypatch.delenv("SIFT4G_TPU_TAIL_COALESCE")
+    al = _aligner(scorer, backend=backend)
+    got = al.scores_many(items)
+    assert al.launches == 1, (
+        f"expected coalesced tails to collapse to one launch, got {al.launches}"
+    )
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(g, r)

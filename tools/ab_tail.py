@@ -11,7 +11,7 @@ policy = sys.argv[1]
 data = sys.argv[2] if len(sys.argv) > 2 else "/tmp/mq2m"
 os.environ["SIFT4G_TPU_TAIL_POLICY"] = policy
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.argv = [
     "sift4g-tpu",
     "-q", f"{data}/queries.fa",

@@ -15,11 +15,16 @@ fetch-forced (np.asarray), SIGALRM deadline around compiles.
 """
 
 import json
+import os
 import sys
 import time
 from functools import partial
 
 import numpy as np
+
+# self-locating: works as a bare subprocess from any cwd even when the
+# package is not installed in the venv
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _deadline(seconds):

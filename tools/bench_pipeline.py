@@ -12,6 +12,10 @@ import os
 import sys
 import time
 
+# self-locating: works as a bare subprocess from any cwd even when the
+# package is not installed in the venv
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 

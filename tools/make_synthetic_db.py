@@ -10,8 +10,13 @@ Usage: python tools/make_synthetic_db.py OUT_DIR [--n-db 20000] [--n-q 10]
 
 import argparse
 import os
+import sys
 
 import numpy as np
+
+# self-locating: the tool must work as a bare subprocess from any cwd even
+# when the package is not installed in the venv
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STD = np.array([ord(c) - ord("A") for c in "ACDEFGHIKLMNPQRSTVWY"])
 
