@@ -528,7 +528,11 @@ class BatchAligner:
         self.backend = backend
         self.batch = batch
         self.q_bucket = q_bucket
-        self.t_bucket = t_bucket
+        # target rung ladder base (A/B knob for the denser-ladder
+        # experiment at serve-daemon warmth — ROADMAP item 2: 64 doubles
+        # the jit shapes for ~x1.04 less padding; only worth it where the
+        # compile tax is already sunk)
+        self.t_bucket = int(os.environ.get("SIFT4G_TPU_T_BUCKET", t_bucket))
         # native-backend thread count (reference -t; 0 = hw concurrency)
         self.threads = threads
         # optional grouped-batch width cap: tests bound interpret-mode work
@@ -990,10 +994,14 @@ class BatchAligner:
             return arr
 
         launch_args = []
+        # big-job grid size (A/B knob for the G=128 experiment at
+        # serve-daemon warmth — the 128-grid compile measured 1049 s, so
+        # it must never enter a cold CLI path by default)
+        g_big = int(os.environ.get("SIFT4G_TPU_G_CHUNK", 64))
         for (n_pad, B, seg), groups in sorted(buckets.items()):
             # grid size must divide across the mesh: each device runs
             # G_CHUNK / n_dev complete groups of the same launch
-            G_CHUNK = _round_up(8 if len(groups) <= 8 * n_dev else 64, n_dev)
+            G_CHUNK = _round_up(8 if len(groups) <= 8 * n_dev else g_big, n_dev)
             for gpos in range(0, len(groups), G_CHUNK):
                 part = groups[gpos : gpos + G_CHUNK]
                 if _part_resident(part):

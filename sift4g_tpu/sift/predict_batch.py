@@ -100,8 +100,10 @@ def predict_matrix_batch(
         L_pad, n_pad = shapes[chunk[0]]
         # fixed chunk width: the last partial chunk pads with all-'X'
         # dummy queries (results discarded) instead of forcing a fresh
-        # compile shape
-        packed = np.full((q_chunk, n_pad, L_pad), X_CODE, dtype=np.int32)
+        # compile shape.  int8 codes (0..25 fit easily): the tensor feeds
+        # only one_hot on device, and the relay transfer + host memset are
+        # 4x smaller than the int32 layout measured at 29 MB/chunk
+        packed = np.full((q_chunk, n_pad, L_pad), X_CODE, dtype=np.int8)
         n_valid = np.ones(q_chunk, dtype=np.int32)
         for j, qi in enumerate(chunk):
             r = prepared_rows[qi]
