@@ -24,6 +24,7 @@ passed separately for the Henikoff weight normalization
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -35,8 +36,11 @@ X_CODE = ord("X") - ord("A")
 
 # queries per device launch: bounds the (Qc, n_pad, L_pad, 26) f32 one-hot
 # intermediate (Qc=32, n=400, L=512 -> ~680 MB peak, well inside HBM) while
-# still amortizing the ~30 ms launch overhead
-Q_CHUNK = 32
+# still amortizing the ~30 ms launch overhead.  At proteome query counts
+# the launch tax dominates predict.fetch (20k queries / 32 = 625 launches
+# = ~19 s of pure RPC), so the width is tunable; 64 halves the launch
+# count for ~1.4 GB peak intermediate
+Q_CHUNK = int(os.environ.get("SIFT4G_TPU_PREDICT_QCHUNK", "32"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -96,6 +100,8 @@ def predict_matrix_batch(
         qi: key for key, idxs in buckets.items() for qi in idxs
     }
 
+    pack_pool = None  # bound to the writer pool inside the run loop
+
     def dispatch(chunk):
         L_pad, n_pad = shapes[chunk[0]]
         # fixed chunk width: the last partial chunk pads with all-'X'
@@ -103,12 +109,27 @@ def predict_matrix_batch(
         # compile shape.  int8 codes (0..25 fit easily): the tensor feeds
         # only one_hot on device, and the relay transfer + host memset are
         # 4x smaller than the int32 layout measured at 29 MB/chunk
-        packed = np.full((q_chunk, n_pad, L_pad), X_CODE, dtype=np.int8)
+        packed = np.empty((q_chunk, n_pad, L_pad), dtype=np.int8)
         n_valid = np.ones(q_chunk, dtype=np.int32)
-        for j, qi in enumerate(chunk):
-            r = prepared_rows[qi]
-            packed[j, : r.shape[0], : r.shape[1]] = r
-            n_valid[j] = r.shape[0]
+
+        # per-row fills write disjoint slices and release the GIL in the
+        # memset/memcpy, so they fan over the host pool (predict.pack was
+        # 23 s serial at 20k queries)
+        def fill(j):
+            if j < len(chunk):
+                r = prepared_rows[chunk[j]]
+                packed[j, : r.shape[0], : r.shape[1]] = r
+                packed[j, r.shape[0] :, :] = X_CODE
+                packed[j, : r.shape[0], r.shape[1] :] = X_CODE
+                n_valid[j] = r.shape[0]
+            else:  # dummy query pads the last partial chunk
+                packed[j] = X_CODE
+
+        if pack_pool is not None:
+            list(pack_pool.map(fill, range(q_chunk)))
+        else:
+            for j in range(q_chunk):
+                fill(j)
         return sift_scores_from_rows_batch(jnp.asarray(packed), jnp.asarray(n_valid))
 
     def write_one(args):
@@ -122,6 +143,7 @@ def predict_matrix_batch(
 
     t_pack = t_fetch = 0.0
     with ThreadPoolExecutor(max_workers=max(1, threads)) as pool:
+        pack_pool = pool
         pending = None  # (device result, chunk) one launch in flight
         write_futs = []
         for chunk in chunks + [None]:
