@@ -31,6 +31,14 @@
 #include <thread>
 #include <vector>
 
+#if defined(__linux__)
+#include <sys/mman.h>
+#include <unistd.h>
+#ifndef MADV_COLLAPSE
+#define MADV_COLLAPSE 25
+#endif
+#endif
+
 namespace {
 
 struct Candidate {
@@ -161,6 +169,33 @@ inline uint64_t now_cycles() {
   return 0;
 #endif
 }
+
+// Back the scan's randomly-probed tables (CSR starts ~108 MB at k=5, the
+// interleaved hit pairs, the presence bitmap) with 2 MB pages: the host
+// runs THP in `madvise` mode, so plain malloc/numpy memory walks 4 KiB
+// PTEs — the 108 MB table alone needs ~27k dTLB entries at 4 KiB vs 54 at
+// 2 MB.  MADV_COLLAPSE (Linux 6.1+) synchronously rebuilds the range's
+// fully-covered 2 MB extents; MADV_HUGEPAGE marks the rest for khugepaged.
+// Both are best-effort hints — failures (old kernel, non-anon mapping) are
+// ignored and the scan stays correct.  SIFT4G_TPU_THP=0 is the A/B control.
+#if defined(__linux__)
+inline void thp_hint(const void* p, size_t n) {
+  static const bool on = [] {
+    const char* s = std::getenv("SIFT4G_TPU_THP");
+    return !(s && s[0] == '0');
+  }();
+  if (!on || n < (4u << 20)) return;  // < 2 huge pages: nothing to collapse
+  const size_t page = static_cast<size_t>(sysconf(_SC_PAGESIZE));
+  uintptr_t lo = (reinterpret_cast<uintptr_t>(p) + page - 1) & ~(page - 1);
+  uintptr_t hi = (reinterpret_cast<uintptr_t>(p) + n) & ~(page - 1);
+  if (hi <= lo) return;
+  void* a = reinterpret_cast<void*>(lo);
+  madvise(a, hi - lo, MADV_HUGEPAGE);
+  madvise(a, hi - lo, MADV_COLLAPSE);
+}
+#else
+inline void thp_hint(const void*, size_t) {}
+#endif
 
 void scan_range(const SearchCtx* ctx, const uint8_t* codes,
                 const int64_t* offsets, int64_t lo, int64_t hi,
@@ -409,6 +444,10 @@ void* sift4g_search_create(int n_queries, int max_candidates, int kmer_len,
   ctx->hits.resize(static_cast<size_t>(n_hits));
   for (int64_t h = 0; h < n_hits; ++h)
     ctx->hits[h] = {hit_query[h], hit_pos[h]};
+  // TLB relief for the randomly-probed tables (no-op when too small)
+  thp_hint(starts, static_cast<size_t>(n_starts) * sizeof(int32_t));
+  thp_hint(ctx->hits.data(), ctx->hits.size() * sizeof(SearchCtx::Hit));
+  thp_hint(ctx->present.data(), ctx->present.size() * sizeof(uint64_t));
   ctx->cands.resize(n_queries);
   ctx->floors.assign(n_queries, 1e6f);  // database_search.cpp:86
   ctx->full.assign(n_queries, 0);
