@@ -171,18 +171,19 @@ inline uint64_t now_cycles() {
 }
 
 // Back the scan's randomly-probed tables (CSR starts ~108 MB at k=5, the
-// interleaved hit pairs, the presence bitmap) with 2 MB pages: the host
-// runs THP in `madvise` mode, so plain malloc/numpy memory walks 4 KiB
-// PTEs — the 108 MB table alone needs ~27k dTLB entries at 4 KiB vs 54 at
-// 2 MB.  MADV_COLLAPSE (Linux 6.1+) synchronously rebuilds the range's
-// fully-covered 2 MB extents; MADV_HUGEPAGE marks the rest for khugepaged.
-// Both are best-effort hints — failures (old kernel, non-anon mapping) are
-// ignored and the scan stays correct.  SIFT4G_TPU_THP=0 is the A/B control.
+// interleaved hit pairs, the presence bitmap) with 2 MB pages via
+// MADV_HUGEPAGE + MADV_COLLAPSE (Linux 6.1+; best-effort, failures leave
+// the scan correct).  OFF by default: on this deployment's VM the hint is
+// a measured NET LOSS at proteome scale (20k q x 2M seqs, interleaved
+// pairs: gather cycles -32% as the TLB model predicts, but score+merge
+// regress more, total 40-49 s -> 61-69 s; guest-huge pages over host
+// 4 KiB EPT is the suspected mechanism — see docs/PLATFORM.md).  Bare-
+// metal hosts with THP=madvise can enable with SIFT4G_TPU_THP=1.
 #if defined(__linux__)
 inline void thp_hint(const void* p, size_t n) {
   static const bool on = [] {
     const char* s = std::getenv("SIFT4G_TPU_THP");
-    return !(s && s[0] == '0');
+    return s && s[0] == '1';
   }();
   if (!on || n < (4u << 20)) return;  // < 2 huge pages: nothing to collapse
   const size_t page = static_cast<size_t>(sysconf(_SC_PAGESIZE));
@@ -444,7 +445,7 @@ void* sift4g_search_create(int n_queries, int max_candidates, int kmer_len,
   ctx->hits.resize(static_cast<size_t>(n_hits));
   for (int64_t h = 0; h < n_hits; ++h)
     ctx->hits[h] = {hit_query[h], hit_pos[h]};
-  // TLB relief for the randomly-probed tables (no-op when too small)
+  // TLB relief for the randomly-probed tables (opt-in; no-op when small)
   thp_hint(starts, static_cast<size_t>(n_starts) * sizeof(int32_t));
   thp_hint(ctx->hits.data(), ctx->hits.size() * sizeof(SearchCtx::Hit));
   thp_hint(ctx->present.data(), ctx->present.size() * sizeof(uint64_t));
