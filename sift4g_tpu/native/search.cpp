@@ -28,6 +28,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
 #include <thread>
 #include <vector>
 
@@ -123,6 +124,12 @@ int lis_length(const P* xs, size_t n, std::vector<int32_t>& tails,
 struct ThreadState {
   std::vector<std::vector<Candidate>> cands;   // per query, admitted this chunk
   std::vector<float> floors;                   // local floor copies
+  // per-query denial gate = (list full ? floor : -inf): the scan denies a
+  // pair iff score <= gate, so the dominant deny path reads ONE 4-byte
+  // entry instead of three scattered arrays (floors + cands[q] header +
+  // full flag — ~580 KB of random working set at 20k queries vs 80 KB).
+  // Rebuilt from (full, floors) each round, refreshed on every admission.
+  std::vector<float> gate;
   // small-query-count gather scratch (n_queries <= kFlatHitsThreshold):
   // per-query position vectors + touched list — the tables fit in L2 and
   // per-hit random access is cheap
@@ -215,41 +222,42 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
   auto score_one = [&](int32_t q, const auto* pos, size_t h, float len_f,
                        float score1, int64_t db_index) {
     st->n_scored += 1;
-    auto& lst = st->cands[q];
-    float& floor = st->floors[q];
-    const bool full =
-        static_cast<int>(lst.size()) >= maxc || gfull[q] != 0;
+    // deny iff (list full && score <= floor) ⇔ score <= gate, since gate
+    // caches (full ? floor : -inf) and every score is > 0 (lis >= 1)
+    const float gate = st->gate[q];
     float score;
     if (h == 1) {
-      if (full && score1 <= floor) return;
+      if (score1 <= gate) return;
       score = score1;
     } else if (h == 2) {
       const int lis = 1 + (pos_at(pos, 1) > pos_at(pos, 0) ? 1 : 0);
       score = static_cast<float>(lis) / len_f;
-      if (full && score <= floor) return;
+      if (score <= gate) return;
     } else {
       // exact LIS skip: lis <= n_hits, so when the list is full and even
       // n_hits/len cannot beat the admission floor the candidate cannot
       // be admitted — identical candidate sets, no O(h log h) work.  At
       // many-query scale (the human-missense mode) this removes the
       // dominant cost once floors rise.
+      if (static_cast<float>(h) / len_f <= gate) return;
       int min_needed = 0;
-      if (full) {
-        if (static_cast<float>(h) / len_f <= floor) return;
+      if (gate > -std::numeric_limits<float>::infinity()) {
         // smallest integer L with (float)L/len > floor — admission needs
         // LIS >= L, so the LIS can abort once it provably falls short.
         // Derived under the same float division the score uses (the +-1
         // scan absorbs rounding at the boundary).
-        int L = static_cast<int>(floor * len_f);
-        while (L > 0 && static_cast<float>(L - 1) / len_f > floor) --L;
-        while (static_cast<float>(L) / len_f <= floor) ++L;
+        int L = static_cast<int>(gate * len_f);
+        while (L > 0 && static_cast<float>(L - 1) / len_f > gate) --L;
+        while (static_cast<float>(L) / len_f <= gate) ++L;
         min_needed = L;
       }
       st->n_lis += 1;
       st->n_lis_hits += h;
       score = static_cast<float>(lis_length(pos, h, st->tails, min_needed)) / len_f;
-      if (full && score <= floor) return;
+      if (score <= gate) return;
     }
+    auto& lst = st->cands[q];
+    float& floor = st->floors[q];
     lst.push_back({score, db_index});
     if (score < floor) floor = score;
     // periodic local truncation: keep the top max_candidates by
@@ -266,6 +274,11 @@ void scan_range(const SearchCtx* ctx, const uint8_t* codes,
       floor = lst[maxc - 1].score;
       lst.resize(maxc);
     }
+    // refresh the cached gate to the state the next call must observe
+    st->gate[q] =
+        (static_cast<int>(lst.size()) >= maxc || gfull[q] != 0)
+            ? floor
+            : -std::numeric_limits<float>::infinity();
   };
 
   for (int64_t si = lo; si < hi; ++si) {
@@ -557,7 +570,14 @@ uint64_t sift4g_search_chunk(void* handle, const uint8_t* codes,
                                 offsets[sub_lo] + kSubRes) - offsets;
     }
     const uint64_t ts0 = now_cycles();
-    for (auto& st : states) st.floors = ctx->floors;
+    for (auto& st : states) {
+      st.floors = ctx->floors;
+      st.gate.resize(nq);
+      for (int q = 0; q < nq; ++q)
+        st.gate[q] = ctx->full[q]
+                         ? st.floors[q]
+                         : -std::numeric_limits<float>::infinity();
+    }
     std::vector<std::thread> threads;
     // residue-balanced contiguous ranges (the reference splits by sequence
     // count, database_search.cpp:101-106; real databases have long-tailed
