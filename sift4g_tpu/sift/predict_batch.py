@@ -35,12 +35,12 @@ from ..io.writers import create_file_name, write_matrix_original_format
 X_CODE = ord("X") - ord("A")
 
 # queries per device launch: bounds the (Qc, n_pad, L_pad, 26) f32 one-hot
-# intermediate (Qc=32, n=400, L=512 -> ~680 MB peak, well inside HBM) while
-# still amortizing the ~30 ms launch overhead.  At proteome query counts
-# the launch tax dominates predict.fetch (20k queries / 32 = 625 launches
-# = ~19 s of pure RPC), so the width is tunable; 64 halves the launch
-# count for ~1.4 GB peak intermediate
-Q_CHUNK = int(os.environ.get("SIFT4G_TPU_PREDICT_QCHUNK", "32"))
+# intermediate (Qc=64, n=448, L=512 -> ~1.4 GB peak, well inside HBM)
+# while amortizing the per-launch overhead (dispatch+put+fetch serialize
+# through the relay).  Chip A/B at 20k synthetic queries, warm arms:
+# Q_CHUNK=32 179 s vs 64 129 s (1.39x) — 64 is the default; 32 remains
+# the control knob
+Q_CHUNK = int(os.environ.get("SIFT4G_TPU_PREDICT_QCHUNK", "64"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -142,8 +142,13 @@ def predict_matrix_batch(
     import time as _time
 
     t_pack = t_fetch = 0.0
-    with ThreadPoolExecutor(max_workers=max(1, threads)) as pool:
-        pack_pool = pool
+    # the writer pool drains thousands of queued matrix-file writes; fills
+    # must NOT share it (pool.map would enqueue them behind every pending
+    # write — measured as predict.pack absorbing the writers' runtime).
+    # 4 fill workers saturate this host's memcpy bandwidth.
+    with ThreadPoolExecutor(max_workers=max(1, threads)) as pool, \
+            ThreadPoolExecutor(max_workers=4) as fill_pool:
+        pack_pool = fill_pool
         pending = None  # (device result, chunk) one launch in flight
         write_futs = []
         for chunk in chunks + [None]:
