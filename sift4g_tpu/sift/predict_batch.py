@@ -35,12 +35,15 @@ from ..io.writers import create_file_name, write_matrix_original_format
 X_CODE = ord("X") - ord("A")
 
 # queries per device launch: bounds the (Qc, n_pad, L_pad, 26) f32 one-hot
-# intermediate (Qc=64, n=448, L=512 -> ~1.4 GB peak, well inside HBM)
-# while amortizing the per-launch overhead (dispatch+put+fetch serialize
-# through the relay).  Chip A/B at 20k synthetic queries, warm arms:
-# Q_CHUNK=32 179 s vs 64 129 s (1.39x) — 64 is the default; 32 remains
-# the control knob
-Q_CHUNK = int(os.environ.get("SIFT4G_TPU_PREDICT_QCHUNK", "64"))
+# intermediate (Qc=32, n=400, L=512 -> ~680 MB peak) while amortizing the
+# per-launch overhead.  64 measured 1.39x faster in ISOLATION (standalone
+# tools/bench_predict.py, 20k synthetic queries) but 2x SLOWER inside the
+# real pipeline (2000q x 2M daemon arms: warm predict 8.0 s at 32 vs
+# 16.6 s at 64) — the 1.4 GB one-hot intermediate co-resident with the
+# 2 GB HBM database triggers the allocator-pressure trap of
+# docs/PLATFORM.md ("co-resident jitted programs poison timing").  32 is
+# the default; the knob remains for resident-off configurations.
+Q_CHUNK = int(os.environ.get("SIFT4G_TPU_PREDICT_QCHUNK", "32"))
 
 
 def _round_up(x: int, m: int) -> int:

@@ -37,7 +37,7 @@ run_once () {
     >>"$LOG".connect 2>&1
   local rc=$?
   local t1=$(date +%s.%N)
-  echo "connect[$TAG/$label]: rc=$rc wall=$(echo "$t1 - $t0" | bc) s"
+  echo "connect[$TAG/$label]: rc=$rc wall=$(awk -v a="$t0" -v b="$t1" 'BEGIN{printf "%.1f", b-a}') s"
 }
 
 run_once cold
