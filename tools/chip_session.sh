@@ -2,22 +2,23 @@
 # Queued chip work.  Round-4 sessions (2026-08-20) COMPLETED:
 #   * reworked bench validated twice (47.9-48.3 GCUPS, 85.8-86.4% of
 #     in-run roofline, marginal 104%);
-#   * 2000q x 2M warm headline 47.8 s (arms: 76.7 pre-coalescing -> 57.3
-#     coalescing -> 52.3 + striped traceback -> 47.8 + native select
-#     plumbing + int8 predict packing), outputs byte-identical;
-#   * 2000q x 5M re-measure with all round-4 levers: 70.2 s warm
-#     (was 118.7 r3, 291.6 r2); cold arms 660-1326 s (service mood).
+#   * 2000q x 2M warm headline 47.8 s; 2000q x 5M 70.2 s warm;
+#   * 20k q x 2M proteome-scale warm: 433.2 s (46.2 q/s) — align 320.5,
+#     predict 73.6, search 35.5, select 3.7 (cold 1272 s);
+#   * predict Q_CHUNK A/B: 64 wins 1.39x ISOLATED but loses 2x
+#     in-pipeline next to the resident DB (HBM pressure) — default 32;
+#   * prefilter huge-page hint: NET LOSS on this VM (docs/PLATFORM.md),
+#     default off; single-load denial gate landed (bit-identical).
+#   * daemon arms at 2000q x 2M: base warm 60.0 s / qc32 warm 51.0 s
+#     (align 35.8-37.0 both).
 #
 # GENUINELY OPEN:
-#   a. Proteome-scale missense: 20k queries x 2M (dataset /tmp/mq20k):
-#        timeout 7200 python tools/bench_pipeline.py /tmp/mq20k --resident-db on --predict-backend device --repeat
-#   b. G=128 grids at serve-daemon warmth (expect +5% kernel; 1049 s
-#      compile per shape — daemon-only, never in the bench window):
-#        SIFT4G_TPU_G_CHUNK=128 sift4g-tpu --serve /tmp/s.sock &
-#        sift4g-tpu --connect /tmp/s.sock -q ... -d ...   # twice; warm 2nd
-#   c. Denser 64-base rung ladder at daemon warmth (x1.29 -> x1.24
-#      padding, 2x jit shapes — same caveat):
-#        SIFT4G_TPU_T_BUCKET=64 sift4g-tpu --serve /tmp/s.sock &
+#   b. G=128 grids at daemon warmth (in flight 2026-08-20; expect +5%
+#      kernel rate, compile tax ~1000 s/shape — daemon-only):
+#        bash tools/daemon_ab.sh g128 /tmp/mq2m SIFT4G_TPU_G_CHUNK=128
+#   c. Denser 64-base rung ladder at daemon warmth (x1.29 -> x1.24 rung
+#      padding, 2x jit shapes):
+#        bash tools/daemon_ab.sh tb64 /tmp/mq2m SIFT4G_TPU_T_BUCKET=64
 #
 # Run steps MANUALLY one at a time — one TPU process at a time on this
 # machine (docs/PLATFORM.md), and a wedged compile can take the relay
