@@ -12,13 +12,13 @@
 #   * daemon arms at 2000q x 2M: base warm 60.0 s / qc32 warm 51.0 s
 #     (align 35.8-37.0 both).
 #
-# GENUINELY OPEN:
-#   b. G=128 grids at daemon warmth (in flight 2026-08-20; expect +5%
-#      kernel rate, compile tax ~1000 s/shape — daemon-only):
-#        bash tools/daemon_ab.sh g128 /tmp/mq2m SIFT4G_TPU_G_CHUNK=128
-#   c. Denser 64-base rung ladder at daemon warmth (x1.29 -> x1.24 rung
-#      padding, 2x jit shapes):
-#        bash tools/daemon_ab.sh tb64 /tmp/mq2m SIFT4G_TPU_T_BUCKET=64
+#   * daemon-warmth align knobs BOTH FLAT (docs/PLATFORM.md): G=128
+#     warm align 35.6 s vs base 35.8 (cold tax 2295 s); T_BUCKET=64
+#     37.3 s.  Knobs stay A/B-only.
+#
+# GENUINELY OPEN: none queued — the align phase is at its structural
+# limit at current shapes; next wins would need a padded-cell reduction
+# below x1.66 that does not multiply jit shapes.
 #
 # Run steps MANUALLY one at a time — one TPU process at a time on this
 # machine (docs/PLATFORM.md), and a wedged compile can take the relay
