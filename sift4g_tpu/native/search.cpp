@@ -464,7 +464,10 @@ void* sift4g_search_create(int n_queries, int max_candidates, int kmer_len,
   thp_hint(ctx->present.data(), ctx->present.size() * sizeof(uint64_t));
   ctx->cands.resize(n_queries);
   ctx->floors.assign(n_queries, 1e6f);  // database_search.cpp:86
-  ctx->full.assign(n_queries, 0);
+  // max_candidates <= 0 degenerates to "admit nothing": pre-arm every
+  // gate at the 1e6 floor (all real scores are <= 1) so the admission
+  // path — and its maxc-sized nth_element — is never reached
+  ctx->full.assign(n_queries, max_candidates > 0 ? 0 : 1);
   ctx->flat = n_queries > flat_threshold();
   unsigned hw = std::thread::hardware_concurrency();
   ctx->n_threads = n_threads > 0 ? n_threads : (hw ? static_cast<int>(hw) : 4);

@@ -289,3 +289,25 @@ def test_native_hash_matches_numpy(monkeypatch):
         np.testing.assert_array_equal(native_h.starts, numpy_h.starts)
         np.testing.assert_array_equal(native_h.hit_query, numpy_h.hit_query)
         np.testing.assert_array_equal(native_h.hit_pos, numpy_h.hit_pos)
+
+
+def test_native_search_zero_max_candidates(tmp_path):
+    """max_candidates <= 0 is the degenerate admit-nothing case: the gate
+    pre-arms at the 1e6 floor so the admission path (and its maxc-sized
+    nth_element) is never reached (search.cpp sift4g_search_create).  The
+    CLI rejects the value; this guards direct library callers."""
+    from sift4g_tpu.prefilter import search as S
+
+    rng = np.random.default_rng(3)
+    recs = []
+    for i in range(50):
+        seq = "".join(chr(ord("A") + c) for c in rng.integers(0, 20, 120))
+        recs.append(f">t{i}\n{seq}\n")
+    path = _write(tmp_path, "".join(recs))
+    queries = [Chain(name="q0", codes=rng.integers(0, 20, 80).astype(np.uint8))]
+
+    devnull = open(os.devnull, "w")
+    idx, cells = S._search_database_native(lib, path, queries, 5, 0, 1 << 40, devnull)
+    devnull.close()
+    assert cells == 50 * 120
+    assert all(len(a) == 0 for a in idx)

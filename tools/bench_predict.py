@@ -5,7 +5,7 @@ synthetic (n_rows, L) alignment-row arrays with a realistic shape mix,
 then runs predict_matrix_batch twice (cold compile + warm) and prints the
 pack/fetch split.  One TPU process at a time (docs/PLATFORM.md).
 
-  python tools/bench_predict.py --n 20000 [--qchunk 64] [--depth 2]
+  python tools/bench_predict.py --n 20000 [--qchunk 64]
 """
 
 import argparse

@@ -9,8 +9,8 @@
 #     in-pipeline next to the resident DB (HBM pressure) — default 32;
 #   * prefilter huge-page hint: NET LOSS on this VM (docs/PLATFORM.md),
 #     default off; single-load denial gate landed (bit-identical).
-#   * daemon arms at 2000q x 2M: base warm 60.0 s / qc32 warm 51.0 s
-#     (align 35.8-37.0 both).
+#   * daemon arms at 2000q x 2M: production-default warm 51.0 s (the
+#     60.0 s arm was the since-reverted Q_CHUNK=64; align 35.8-37.0 both).
 #
 #   * daemon-warmth align knobs BOTH FLAT (docs/PLATFORM.md): G=128
 #     warm align 35.6 s vs base 35.8 (cold tax 2295 s); T_BUCKET=64

@@ -20,13 +20,17 @@ SOCK=/tmp/s4g_ab_${TAG}.sock
 LOG=/tmp/daemon_${TAG}.log
 OUT=/tmp/daemon_${TAG}_out
 PLATFORM=${S4G_AB_PLATFORM:-auto}   # set =cpu to smoke-test the harness
-rm -f "$SOCK"; rm -rf "$OUT"; mkdir -p "$OUT"
+rm -f "$SOCK" "$LOG".connect; rm -rf "$OUT"; mkdir -p "$OUT"
 
 env "$@" python -m sift4g_tpu.cli --serve "$SOCK" --platform "$PLATFORM" >"$LOG" 2>&1 &
 DPID=$!
 echo "daemon[$TAG] pid=$DPID env: $*"
 for i in $(seq 1 60); do [ -S "$SOCK" ] && break; sleep 1; done
-[ -S "$SOCK" ] || { echo "daemon failed to come up; log:"; tail "$LOG"; exit 1; }
+[ -S "$SOCK" ] || {
+  echo "daemon failed to come up; log:"; tail "$LOG"
+  kill "$DPID" 2>/dev/null   # never orphan a TPU-holding process
+  exit 1
+}
 
 run_once () {
   local label=$1
@@ -45,6 +49,10 @@ run_once warm
 # per-phase breakdown of the LAST (warm) job
 echo "--- warm phase report ---"
 tail -30 "$LOG".connect
-python -m sift4g_tpu.cli --connect "$SOCK" --shutdown >/dev/null 2>&1
+# bounded shutdown: a daemon wedged mid-compile never answers the socket
+timeout 60 python -m sift4g_tpu.cli --connect "$SOCK" --shutdown >/dev/null 2>&1 \
+  || kill "$DPID" 2>/dev/null
+for i in $(seq 1 30); do kill -0 "$DPID" 2>/dev/null || break; sleep 1; done
+kill -0 "$DPID" 2>/dev/null && kill -9 "$DPID" 2>/dev/null
 wait "$DPID" 2>/dev/null
 echo "daemon[$TAG] stopped"
