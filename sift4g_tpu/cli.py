@@ -89,6 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "codes once, ship only offset/length arrays per launch "
                    "(auto: when the pallas path is active and candidate "
                    "bytes exceed the one-time upload)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip queries whose .SIFTprediction already exists "
+                   "in --out (crash recovery for proteome-scale runs; "
+                   "remaining outputs are byte-identical to a full run). "
+                   "Queries that legitimately produce no output re-run. "
+                   "Incompatible with --sub-results")
     p.add_argument("--mh-shard", default="db", choices=["db", "queries"],
                    help="multi-host partition axis: shard the database "
                    "(merge candidates/winners; few queries x huge db) or "
@@ -198,6 +204,10 @@ def main(argv=None) -> int:
         return fail(f"invalid cards list '{args.cards}' (digits only, e.g. '02')")
     if args.out and not os.path.isdir(args.out):
         return fail(f"invalid out directory path '{args.out}'")
+    if args.resume and args.sub_results:
+        return fail("--resume is incompatible with --sub-results (the "
+                    "global alignments.txt would cover only the resumed "
+                    "subset)")
     if args.subst and not os.path.isdir(args.subst):
         return fail(f"invalid substitutions directory path '{args.subst}'")
     # validate matrix + gap penalties up front, before any heavy phase runs
@@ -231,6 +241,7 @@ def _run_one(args, query_path: str, host_ctx=None) -> None:
         subst_path=args.subst,
         out_path=args.out,
         sub_results=args.sub_results,
+        resume=args.resume,
         out_format=args.outfmt,
         sequence_identity=args.seq_id,
         align_backend=args.backend,

@@ -102,6 +102,15 @@ class PipelineConfig:
     # (each host owns a contiguous query slice end to end — the
     # missense/proteome mode, no cross-host merges)
     multihost_shard: str = "db"
+    # crash recovery for proteome-scale runs: skip queries whose
+    # .SIFTprediction already exists in out_path.  Queries are
+    # independent end to end (per-query candidate sets; E-value params
+    # depend only on database size), so the remaining outputs are
+    # byte-identical to a full run's.  Queries that legitimately produce
+    # NO output (zero E-value survivors) are re-processed every resume —
+    # cheap and harmless.  Incompatible with --sub-results (the global
+    # alignments.txt would cover only the resumed subset).
+    resume: bool = False
     # local device indices for alignment (reference --cards); None = all
     cards: Optional[tuple] = None
 
@@ -588,6 +597,17 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
         queries = queries[lo:hi]
     print("** Checking query data and substitutions files **", file=log)
     queries = check_data(queries, cfg.subst_path, log=log)
+    if cfg.resume and cfg.out_path:
+        done = [
+            q for q in queries
+            if os.path.exists(
+                create_file_name(q.name, cfg.out_path, ".SIFTprediction"))
+        ]
+        if done:
+            print(f"** Resume: skipping {len(done)} queries with existing "
+                  f"predictions **", file=log)
+            done_names = {q.name for q in done}
+            queries = [q for q in queries if q.name not in done_names]
     if not queries:
         print("** EXITING! No valid queries to process. **", file=log)
         return []
