@@ -94,7 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "in --out (crash recovery for proteome-scale runs; "
                    "remaining outputs are byte-identical to a full run). "
                    "Queries that legitimately produce no output re-run. "
-                   "Incompatible with --sub-results")
+                   "Requires the SAME -q/-d/--subst and scoring parameters "
+                   "as the interrupted run (a mismatch vs the recorded run "
+                   "manifest in --out warns). Incompatible with "
+                   "--sub-results")
     p.add_argument("--mh-shard", default="db", choices=["db", "queries"],
                    help="multi-host partition axis: shard the database "
                    "(merge candidates/winners; few queries x huge db) or "

@@ -27,6 +27,7 @@ Format fidelity targets (reference citations):
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Dict, List, Sequence
 
@@ -37,6 +38,29 @@ from ..core.chain import Chain
 from .subst import parse_subst_line
 
 _SKIP_COLS = (9, 14, 20)  # J, O, U
+
+
+@contextlib.contextmanager
+def atomic_output(path: str, mode: str = "w"):
+    """Write to ``path`` atomically: a temp file in the same directory is
+    os.replace()d into place on success and unlinked on failure, so a
+    crash mid-write can never leave a truncated file under the final name.
+    ``--resume`` (pipeline.py) relies on this: an existing output IS a
+    complete output.  The pid suffix keeps concurrent writers (multi-host
+    processes sharing --out) from clobbering each other's temp files."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    fp = open(tmp, mode)
+    try:
+        yield fp
+    except BaseException:
+        fp.close()
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    fp.close()
+    os.replace(tmp, path)
 
 
 def create_file_name(name: str, out_dir: str, extension: str) -> str:
@@ -66,7 +90,7 @@ def write_matrix_original_format(matrix: np.ndarray, path: str) -> None:
     """matrix: (L, 26) float64 SIFT scores."""
     body = matrix[:, _KEEP_COLS]
     text = (_MATRIX_LINE_FMT * body.shape[0]) % tuple(body.ravel())
-    with open(path, "w") as fp:
+    with atomic_output(path) as fp:
         fp.write(_MATRIX_HEADER + text + "//\n")
 
 
@@ -124,7 +148,7 @@ def write_subst_predictions(
             f"{clean}\t{label}\t{_fmt2(score)}\t{_fmt2(median)}\t"
             f"{int(aas_stored[pos])}\t{total_seq}"
         )
-    with open(path, "w") as fp:
+    with atomic_output(path) as fp:
         for line in out:
             fp.write(line + "\n")
 
@@ -148,7 +172,7 @@ def write_selected_alignments(
     """Mirror of outputSelectedAlignments (select_alignments.cpp:76-110)."""
     for i, query in enumerate(queries):
         path = create_file_name(query.name, out_dir, ".aligned.fasta")
-        with open(path, "w") as fp:
+        with atomic_output(path) as fp:
             fp.write(">QUERY\n")
             _write_wrapped(fp, query.letters)
             for aln in alignment_strings[i]:
@@ -225,7 +249,7 @@ def write_alignments_report(
 
             scorer = create_scorer("BLOSUM_62")
         m0_matrix = scorer.matrix
-    with open(path, "w") as fp:
+    with atomic_output(path) as fp:
         for qi, query in enumerate(queries):
             alns = alignments_per_query[qi]
             if out_format == "bm0":

@@ -587,6 +587,66 @@ def _maybe_resident_db(fs, indices, aligner, mode_flag: str, log,
     return rdb
 
 
+_MANIFEST_NAME = ".sift4g_tpu_run.json"
+# the parameters that change .SIFTprediction bytes for a given query —
+# resuming with any of these differing would silently mix outputs from
+# two distinct runs (advisor r4: resume matches on filename only)
+_MANIFEST_KEYS = (
+    "query_path", "database_path", "kmer_length", "max_candidates",
+    "gap_open", "gap_extend", "matrix", "max_alignments", "max_evalue",
+    "algorithm", "median_threshold", "subst_path", "sequence_identity",
+)
+
+
+def _manifest_params(cfg: PipelineConfig) -> dict:
+    return {
+        k: os.path.abspath(v) if k.endswith("_path") and v else v
+        for k, v in ((k, getattr(cfg, k)) for k in _MANIFEST_KEYS)
+    }
+
+
+def _write_run_manifest(cfg: PipelineConfig) -> None:
+    """Record the output-affecting parameters in --out (best-effort)."""
+    import json
+
+    path = os.path.join(cfg.out_path, _MANIFEST_NAME)
+    try:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fp:
+            json.dump(_manifest_params(cfg), fp, indent=1)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+def _resume_check_manifest(cfg: PipelineConfig, log) -> None:
+    """Warn when --resume reuses an --out directory whose recorded run
+    parameters differ from this invocation's (outputs would silently mix
+    two different runs).  Warn-not-fail: the manifest is advisory and
+    absent for pre-manifest output directories."""
+    import json
+
+    path = os.path.join(cfg.out_path, _MANIFEST_NAME)
+    try:
+        with open(path) as fp:
+            prev = json.load(fp)
+    except (OSError, ValueError):
+        return
+    now = _manifest_params(cfg)
+    diffs = [
+        f"{k}: {prev[k]!r} -> {now[k]!r}"
+        for k in _MANIFEST_KEYS
+        if k in prev and prev[k] != now[k]
+    ]
+    if diffs:
+        print(
+            "* WARNING: --resume with parameters differing from the run "
+            "that produced this --out directory; existing predictions "
+            "were made with: " + "; ".join(diffs) + " *",
+            file=log,
+        )
+
+
 def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
     """Run the full pipeline; returns the list of processed queries."""
     log = cfg.log
@@ -598,6 +658,20 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
     print("** Checking query data and substitutions files **", file=log)
     queries = check_data(queries, cfg.subst_path, log=log)
     if cfg.resume and cfg.out_path:
+        _resume_check_manifest(cfg, log)
+        # outputs are written via atomic tmp+os.replace (io/writers.py
+        # atomic_output), so an existing .SIFTprediction is always a
+        # COMPLETE one; a crash leaves only *.tmp.<pid> strays, swept here
+        # so they cannot accumulate across resumes
+        import glob
+
+        for stray in glob.glob(
+            os.path.join(glob.escape(cfg.out_path), "*.tmp.*")
+        ):
+            try:
+                os.unlink(stray)
+            except OSError:
+                pass
         done = [
             q for q in queries
             if os.path.exists(
@@ -608,6 +682,8 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
                   f"predictions **", file=log)
             done_names = {q.name for q in done}
             queries = [q for q in queries if q.name not in done_names]
+    if cfg.out_path:
+        _write_run_manifest(cfg)
     if not queries:
         print("** EXITING! No valid queries to process. **", file=log)
         return []

@@ -14,6 +14,16 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# never drop .s4gc parse caches next to inputs during tests (the e2e
+# goldens read from the read-only reference tree); individual tests of the
+# DEFAULT next-to-input layout delete this var via monkeypatch
+if "SIFT4G_TPU_CACHE_DIR" not in os.environ:
+    import tempfile
+
+    os.environ["SIFT4G_TPU_CACHE_DIR"] = tempfile.mkdtemp(
+        prefix="sift4g-tpu-test-cache-"
+    )
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 

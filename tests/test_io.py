@@ -74,3 +74,26 @@ def test_chain_batch_padding():
     assert b.codes.shape == (2, 256)
     assert b.lengths.tolist() == [3, 200]
     assert (b.codes[0, 3:] == 31).all()
+
+
+def test_atomic_output_no_partial_final_file(tmp_path):
+    """atomic_output: success replaces atomically; a failure mid-write
+    leaves NO file under the final name and no stray temp."""
+    import os
+
+    from sift4g_tpu.io.writers import atomic_output
+
+    p = tmp_path / "out.txt"
+    with atomic_output(str(p)) as fp:
+        fp.write("complete\n")
+    assert p.read_text() == "complete\n"
+
+    # overwrite attempt that dies mid-write must keep the old content
+    try:
+        with atomic_output(str(p)) as fp:
+            fp.write("partial")
+            raise RuntimeError("simulated crash")
+    except RuntimeError:
+        pass
+    assert p.read_text() == "complete\n"
+    assert os.listdir(tmp_path) == ["out.txt"]
