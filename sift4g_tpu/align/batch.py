@@ -344,6 +344,21 @@ def _length_rungs_vec(lens: np.ndarray, base: int) -> np.ndarray:
     return (p * base).astype(np.int64)
 
 
+def _env_int(name: str, default) -> int:
+    """int(os.environ[name]) with an error that names the variable
+    (advisor r4: a malformed value raised a bare ValueError deep in
+    aligner init / mid-launch)."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return int(default)
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"environment variable {name}={raw!r} is not an integer"
+        ) from None
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -532,7 +547,7 @@ class BatchAligner:
         # experiment at serve-daemon warmth — ROADMAP item 2: 64 doubles
         # the jit shapes for ~x1.04 less padding; only worth it where the
         # compile tax is already sunk)
-        self.t_bucket = int(os.environ.get("SIFT4G_TPU_T_BUCKET", t_bucket))
+        self.t_bucket = _env_int("SIFT4G_TPU_T_BUCKET", t_bucket)
         # native-backend thread count (reference -t; 0 = hw concurrency)
         self.threads = threads
         # optional grouped-batch width cap: tests bound interpret-mode work
@@ -997,7 +1012,7 @@ class BatchAligner:
         # big-job grid size (A/B knob for the G=128 experiment at
         # serve-daemon warmth — the 128-grid compile measured 1049 s, so
         # it must never enter a cold CLI path by default)
-        g_big = int(os.environ.get("SIFT4G_TPU_G_CHUNK", 64))
+        g_big = _env_int("SIFT4G_TPU_G_CHUNK", 64)
         for (n_pad, B, seg), groups in sorted(buckets.items()):
             # grid size must divide across the mesh: each device runs
             # G_CHUNK / n_dev complete groups of the same launch

@@ -122,14 +122,19 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float), c_i64,   # xlogx table, size
             ctypes.c_float, ctypes.c_double,         # threshold, kLog_2_20
         ]
+    _extract_sig = [
+        c_u8_p, c_i64_p,                         # moves, move offsets (n+1)
+        c_i64_p, c_i64_p,                        # query/target starts
+        c_u8_p, c_i64_p,                         # tcodes, tcode offsets (n+1)
+        c_i64, c_i64, c_u8_p,                    # n, L, rows out (X-filled)
+    ]
     if hasattr(lib, "sift4g_extract"):  # stale .so tolerance
         lib.sift4g_extract.restype = None
-        lib.sift4g_extract.argtypes = [
-            c_u8_p, c_i64_p,                         # moves, move offsets (n+1)
-            c_i64_p, c_i64_p,                        # query/target starts
-            c_u8_p, c_i64_p,                         # tcodes, tcode offsets (n+1)
-            c_i64, c_i64, c_u8_p,                    # n, L, rows out (X-filled)
-        ]
+        lib.sift4g_extract.argtypes = _extract_sig
+    if hasattr(lib, "sift4g_extract_checked"):
+        # returns -1 or the first corrupt record's index (callers raise)
+        lib.sift4g_extract_checked.restype = c_i64
+        lib.sift4g_extract_checked.argtypes = _extract_sig
     return lib
 
 
@@ -147,6 +152,21 @@ def build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when any source is newer than the built .so (a rebuild is
+    needed; the hasattr guards in _bind only cover ADDED symbols, not
+    changed semantics)."""
+    try:
+        so_mtime = os.path.getmtime(_LIB_PATH)
+        return any(
+            os.path.getmtime(os.path.join(_DIR, f)) > so_mtime
+            for f in os.listdir(_DIR)
+            if f.endswith((".cpp", ".hpp")) or f == "Makefile"
+        )
+    except OSError:
+        return False
+
+
 def load() -> Optional[ctypes.CDLL]:
     """The bound native library, building it on first use; None if unavailable.
 
@@ -159,8 +179,8 @@ def load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH):
-            if not build():
+        if not os.path.exists(_LIB_PATH) or _stale():
+            if not build() and not os.path.exists(_LIB_PATH):
                 return None
         try:
             _lib = _bind(ctypes.CDLL(_LIB_PATH))

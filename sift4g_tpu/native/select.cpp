@@ -107,10 +107,16 @@ int64_t sift4g_select(const uint8_t* rows, int64_t n, int64_t L,
 // advances only the query cursor (stays 'X').  The numpy twin in
 // sift/select.py is memory-traffic-bound at missense scale (~10 ms per
 // 400-record query on this host); this loop is ~0.3 ms.
-void sift4g_extract(const uint8_t* moves, const int64_t* moff,
-                    const int64_t* qstart, const int64_t* tstart,
-                    const uint8_t* tcodes, const int64_t* toff,
-                    int64_t n, int64_t L, uint8_t* rows) {
+// Returns -1 on success, else the index of the FIRST record whose move
+// stream ran a MOVE_DIAG off the query/target bounds.  The numpy twin
+// raises IndexError on such streams; the earlier native variant silently
+// truncated the row instead — divergent failure behavior that masked
+// upstream bugs (advisor r4).  Python raises on a non-negative return.
+int64_t sift4g_extract_checked(const uint8_t* moves, const int64_t* moff,
+                               const int64_t* qstart, const int64_t* tstart,
+                               const uint8_t* tcodes, const int64_t* toff,
+                               int64_t n, int64_t L, uint8_t* rows) {
+    int64_t bad = -1;
     for (int64_t r = 0; r < n; ++r) {
         const uint8_t* mv = moves + moff[r];
         const int64_t mlen = moff[r + 1] - moff[r];
@@ -125,13 +131,27 @@ void sift4g_extract(const uint8_t* moves, const int64_t* moff,
             } else if (m == 2) {    // MOVE_UP
                 ++qi;
             } else {                // MOVE_DIAG
-                if (qi >= L || ti >= tn) break;  // defensive: corrupt path
+                if (qi >= L || ti < 0 || ti >= tn) {  // corrupt path
+                    if (bad < 0) bad = r;
+                    break;
+                }
                 row[qi] = tc[ti];
                 ++qi;
                 ++ti;
             }
         }
     }
+    return bad;
+}
+
+// Legacy entry point (pre-checked ABI); kept so a stale caller binding
+// still resolves.  New bindings use sift4g_extract_checked.
+void sift4g_extract(const uint8_t* moves, const int64_t* moff,
+                    const int64_t* qstart, const int64_t* tstart,
+                    const uint8_t* tcodes, const int64_t* toff,
+                    int64_t n, int64_t L, uint8_t* rows) {
+    (void)sift4g_extract_checked(moves, moff, qstart, tstart, tcodes, toff,
+                                 n, L, rows);
 }
 
 }  // extern "C"

@@ -117,12 +117,23 @@ def _native_extract(records, rows, moves, mlens, tlens, tcodes) -> bool:
     moves = np.ascontiguousarray(moves, dtype=np.uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    lib.sift4g_extract(
+    args = (
         moves.ctypes.data_as(u8p), moff.ctypes.data_as(i64p),
         q0.ctypes.data_as(i64p), t0.ctypes.data_as(i64p),
         tcodes.ctypes.data_as(u8p), toff.ctypes.data_as(i64p),
         n, rows.shape[1], rows.ctypes.data_as(u8p),
     )
+    if hasattr(lib, "sift4g_extract_checked"):
+        bad = int(lib.sift4g_extract_checked(*args))
+        if bad >= 0:
+            # same failure mode as the numpy replay (advisor r4: the
+            # silent native truncation masked upstream move-stream bugs)
+            raise IndexError(
+                f"corrupt alignment move stream: record {bad} runs a "
+                f"MOVE_DIAG past its query/target bounds"
+            )
+    else:  # stale .so: pre-checked ABI
+        lib.sift4g_extract(*args)
     return True
 
 

@@ -311,3 +311,96 @@ def test_native_search_zero_max_candidates(tmp_path):
     devnull.close()
     assert cells == 50 * 120
     assert all(len(a) == 0 for a in idx)
+
+
+def _random_extract_case(rng, n_recs=40, L=120):
+    """Random well-formed (query, records) for extraction parity."""
+    from sift4g_tpu.align.records import (
+        MOVE_DIAG, MOVE_LEFT, MOVE_UP, AlignmentRecord,
+    )
+    from sift4g_tpu.core.chain import Chain
+
+    q = Chain.from_string(
+        "Q", "".join(chr(ord("A") + c) for c in rng.integers(0, 26, L))
+    )
+    records = []
+    for r in range(n_recs):
+        tn = int(rng.integers(10, 200))
+        tcodes = rng.integers(0, 26, tn).astype(np.uint8)
+        q0 = int(rng.integers(0, L))
+        t0 = int(rng.integers(0, tn))
+        # random walk of moves bounded by both cursors
+        moves, qi, ti = [], q0, t0
+        while qi < L and ti < tn and len(moves) < 300:
+            m = int(rng.choice([MOVE_DIAG, MOVE_DIAG, MOVE_LEFT, MOVE_UP]))
+            if m != MOVE_LEFT:
+                qi += 1
+            if m != MOVE_UP:
+                ti += 1
+            moves.append(m)
+        records.append(AlignmentRecord(
+            score=0, query_start=q0, query_end=qi - 1,
+            target_start=t0, target_end=ti - 1,
+            moves=np.asarray(moves, dtype=np.uint8),
+            target_name=f"t{r}", target_codes=tcodes,
+        ))
+    return q, records
+
+
+def test_native_extract_parity_fuzz():
+    """sift4g_extract(_checked) vs the vectorized numpy replay vs a scalar
+    replay: identical rows on random move streams (advisor r4: the two
+    production paths had no direct parity test)."""
+    from sift4g_tpu import native
+    from sift4g_tpu.sift.select import extract_alignment_strings
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    for trial in range(8):
+        q, records = _random_extract_case(rng)
+        _, rows_native = extract_alignment_strings(q, records)
+        os.environ["SIFT4G_TPU_NO_NATIVE"] = "1"
+        try:
+            _, rows_numpy = extract_alignment_strings(q, records)
+        finally:
+            del os.environ["SIFT4G_TPU_NO_NATIVE"]
+        assert np.array_equal(rows_native, rows_numpy), f"trial {trial}"
+        # scalar replay oracle (aligmentStr semantics, quirk Q6)
+        for rec, row in zip(records, rows_native):
+            want = np.full(len(q), ord("X") - ord("A"), dtype=np.uint8)
+            qi, ti = rec.query_start, rec.target_start
+            for m in rec.moves:
+                if m == 1:
+                    ti += 1
+                elif m == 2:
+                    qi += 1
+                else:
+                    want[qi] = rec.target_codes[ti]
+                    qi += 1
+                    ti += 1
+            assert np.array_equal(row, want)
+
+
+def test_native_extract_corrupt_stream_raises():
+    """A move stream that runs MOVE_DIAG past its bounds raises (both
+    backends fail the same way — advisor r4: the native path silently
+    truncated instead)."""
+    from sift4g_tpu import native
+    from sift4g_tpu.align.records import AlignmentRecord
+    from sift4g_tpu.core.chain import Chain
+    from sift4g_tpu.sift.select import extract_alignment_strings
+
+    if native.load() is None or not hasattr(
+        native.load(), "sift4g_extract_checked"
+    ):
+        pytest.skip("checked native extract unavailable")
+    q = Chain.from_string("Q", "ACDEFG")
+    rec = AlignmentRecord(
+        score=0, query_start=4, query_end=5, target_start=0, target_end=1,
+        # 3 diagonal moves from query pos 4 in a 6-long query: runs off
+        moves=np.asarray([0, 0, 0], dtype=np.uint8),
+        target_name="t", target_codes=np.asarray([0, 1, 2], dtype=np.uint8),
+    )
+    with pytest.raises(IndexError):
+        extract_alignment_strings(q, [rec])
