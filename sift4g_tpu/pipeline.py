@@ -784,20 +784,24 @@ def finish_pipeline(
         f"{float(cfg.sequence_identity):.2f}% **",
         file=log,
     )
-    # matrix-mode queries can take the device-batched float32 path
-    # (opt-in, sift/predict_batch.py); subst-mode queries always use the
-    # bit-parity float64 host oracle
+    # under --predict-backend device ALL queries ride the batched device
+    # launches: matrix-mode queries get the float32 full-matrix write
+    # (documented non-bit-parity, sift/predict_batch.py), subst-mode
+    # queries get the f32-screen + sparse-float64-exact hybrid whose
+    # outputs are byte-identical to the host oracle's
+    # (sift/predict_subst.py — VERDICT r4 item 1)
     device_qis: List[int] = []
+    subst_paths = {}
     if cfg.predict_backend == "device":
         from .io.subst import subst_file_name
 
-        device_qis = [
-            qi for qi in range(len(queries))
-            if all_rows[qi].shape[0]
-            and not os.path.isfile(
-                subst_file_name(queries[qi].name, cfg.subst_path)
-            )
-        ]
+        for qi in range(len(queries)):
+            if not all_rows[qi].shape[0]:
+                continue
+            device_qis.append(qi)
+            sp = subst_file_name(queries[qi].name, cfg.subst_path)
+            if os.path.isfile(sp):
+                subst_paths[qi] = sp
     device_set = set(device_qis)
 
     def _predict_one(qi: int) -> None:
@@ -845,8 +849,24 @@ def finish_pipeline(
                     for qi in device_qis
                 ]
             metrics.add("predict.prep", seconds=_time.perf_counter() - t_prep)
+            finishers = None
+            if subst_paths:
+                from .io.subst import read_subst_lines
+                from .sift.predict_subst import finish_subst_query
+
+                finishers = [None] * len(device_qis)
+                for k, qi in enumerate(device_qis):
+                    sp = subst_paths.get(qi)
+                    if sp is None:
+                        continue
+                    finishers[k] = (
+                        lambda scores, q=queries[qi], r=prepared[k],
+                        ln=read_subst_lines(sp), op=create_file_name(
+                            queries[qi].name, cfg.out_path, ".SIFTprediction"
+                        ): finish_subst_query(q, r, ln, scores, op, log=log)
+                    )
             predict_matrix_batch(
                 [queries[qi] for qi in device_qis], prepared, cfg.out_path,
-                threads=cfg.threads, metrics=metrics,
+                threads=cfg.threads, metrics=metrics, finishers=finishers,
             )
     metrics.report()

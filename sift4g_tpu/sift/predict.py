@@ -73,6 +73,31 @@ def prepare_rows(
     return query.codes[None, :].copy()
 
 
+def predict_prepared(
+    query: Chain,
+    rows: np.ndarray,
+    subst_lines,  # Optional[List[str]]: None = matrix mode
+    out_path: str,
+) -> None:
+    """Prediction for one query from already-prepared rows (the float64
+    oracle path).  Shared by the per-query host driver and the hybrid
+    device path's full-query fallback (predict_subst.py)."""
+    total_seq = rows.shape[0]
+    raw_matrix, aas_stored = create_matrix(rows, np.ones(total_seq))
+    sift_scores, _, _ = calc_sift_scores(rows, raw_matrix)
+
+    if subst_lines is not None:
+        median_for_pos = hash_predicted_pos(subst_lines)
+        add_pos_with_del_ref(query, sift_scores, median_for_pos)
+        add_median_seq_info(rows, median_for_pos)
+        write_subst_predictions(
+            subst_lines, median_for_pos, sift_scores, aas_stored,
+            total_seq, query, out_path,
+        )
+    else:
+        write_matrix_original_format(sift_scores, out_path)
+
+
 def predict_query(
     query: Chain,
     names: List[str],
@@ -83,22 +108,10 @@ def predict_query(
 ) -> None:
     """Run prediction for one query and write its output file."""
     rows = prepare_rows(query, names, rows, sequence_identity)
-    total_seq = rows.shape[0]
-
-    raw_matrix, aas_stored = create_matrix(rows, np.ones(total_seq))
-    sift_scores, _, _ = calc_sift_scores(rows, raw_matrix)
-
     subst_path = subst_file_name(query.name, subst_dir)
-    out_path = create_file_name(query.name, out_dir, ".SIFTprediction")
-
-    if os.path.isfile(subst_path):
-        subst_lines = read_subst_lines(subst_path)
-        median_for_pos = hash_predicted_pos(subst_lines)
-        add_pos_with_del_ref(query, sift_scores, median_for_pos)
-        add_median_seq_info(rows, median_for_pos)
-        write_subst_predictions(
-            subst_lines, median_for_pos, sift_scores, aas_stored,
-            total_seq, query, out_path,
-        )
-    else:
-        write_matrix_original_format(sift_scores, out_path)
+    predict_prepared(
+        query,
+        rows,
+        read_subst_lines(subst_path) if os.path.isfile(subst_path) else None,
+        create_file_name(query.name, out_dir, ".SIFTprediction"),
+    )

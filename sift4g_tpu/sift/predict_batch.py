@@ -72,15 +72,22 @@ def predict_matrix_batch(
     q_chunk: int = Q_CHUNK,
     threads: int = 8,
     metrics=None,
+    finishers=None,
 ) -> None:
-    """Score + write .SIFTprediction matrices for matrix-mode queries.
+    """Score + write .SIFTprediction files for device-batched queries.
 
     prepared_rows[i]: (n_i, L_i) int codes with the query as row 0
     (predict.prepare_rows output — Q7 cap and identity filter applied).
 
+    ``finishers``: optional per-query callables ``f(scores_f32)`` (scores
+    trimmed to the query's true length) that complete the query instead
+    of the default full-matrix write — the subst-mode hybrid
+    (predict_subst.finish_subst_query) plugs in here, so substitution
+    and matrix queries share the same device launches and pipeline.
+
     Software-pipelined (VERDICT r3 item 3): JAX dispatch is async, so
     chunk k+1 is packed and dispatched BEFORE chunk k's result is fetched
-    — the host packing and the per-query matrix-file writes (independent,
+    — the host packing and the per-query file writes (independent,
     fanned over a thread pool like the reference's per-query prediction
     tasks, sift_prediction.cpp:144-171) run under the device compute
     instead of serializing with it.
@@ -137,6 +144,10 @@ def predict_matrix_batch(
 
     def write_one(args):
         scores_row, qi = args
+        fin = finishers[qi] if finishers is not None else None
+        if fin is not None:
+            fin(scores_row[: lens[qi]])
+            return
         out_path = create_file_name(queries[qi].name, out_dir, ".SIFTprediction")
         write_matrix_original_format(
             scores_row[: lens[qi]].astype(np.float64), out_path

@@ -70,6 +70,12 @@ def main():
     ap.add_argument("--mean-len", type=int, default=350)
     ap.add_argument("--homolog-frac", type=float, default=0.02)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--subst-per-query", type=int, default=0, metavar="K",
+        help="also write a QUERY_i.subst file per query with K random "
+        "substitution lines (the reference's product mode, "
+        "test_files/README.md:11-17) — enables subst-mode benchmarking",
+    )
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -82,6 +88,17 @@ def main():
     ]
     q_names = [f"QUERY_{i}" for i in range(args.n_q)]
     write_fasta(os.path.join(args.out_dir, "queries.fa"), q_names, q_seqs)
+
+    if args.subst_per_query > 0:
+        for name, codes in zip(q_names, q_seqs):
+            k = min(args.subst_per_query, len(codes))
+            pos = np.sort(rng.choice(len(codes), size=k, replace=False))
+            with open(os.path.join(args.out_dir, name + ".subst"), "w") as fh:
+                fh.write("# synthetic substitution list\n")
+                for sp in pos:
+                    ref = chr(int(codes[sp]) + ord("A"))
+                    new = chr(int(rng.choice(STD)) + ord("A"))
+                    fh.write(f"{ref}{int(sp) + 1}{new}\n")
 
     n_hom = int(args.n_db * args.homolog_frac)
     n_rand = args.n_db - n_hom
