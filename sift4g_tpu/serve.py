@@ -16,21 +16,80 @@ jit caches, so the second and later jobs skip every compile whose shape
 was already seen (the geometric padded-length ladder in align/batch.py
 keeps the shape universe small precisely so this converges).
 
-Protocol: one JSON line per request — {"argv": [...]} — answered by one
-JSON line {"status": int, "job": int, "elapsed_s": float}.  Jobs run
-serially (the TPU is a serial resource here); output files are written by
-the daemon process to the job's --out directory as usual, and the job's
-stderr log is relayed to the client verbatim.
+Protocol: the client sends one JSON line — {"argv": [...]} — and the
+daemon answers with a STREAM of JSON lines: zero or more {"log": "..."}
+frames carrying the job's stderr incrementally (progress meters included,
+mirroring the reference's live carriage-return meters, utils.cpp:52-61;
+a 400-second job shows progress, not silence), then one final
+{"status": int, "job": int, "elapsed_s": float}.  Jobs run serially (the
+TPU is a serial resource here); output files are written by the daemon
+process to the job's --out directory as usual.
+
+Robustness (VERDICT r4 weak #2): every socket write is guarded — a
+client that dies or times out mid-job (cold connects run minutes) flips
+the connection to drop mode and the job RUNS TO COMPLETION (its output
+files are the product; the log keeps flowing to the daemon's own stderr
+fallback), and the daemon survives to serve the next connection.
 """
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import socket
 import sys
 import time
+
+# per-connection socket timeout: bounds how long a write to a wedged
+# (alive-but-not-reading) client can stall the job's log flush before the
+# connection is declared dead; also bounds the initial request read
+_CONN_TIMEOUT_S = 30.0
+
+
+class _SocketLog:
+    """File-like stderr stand-in that streams chunks to the client as
+    {"log": ...} frames.  A failed write (dead/wedged client) permanently
+    flips to drop mode — the job must never die on the client's account;
+    subsequent log text goes to ``fallback`` (the daemon's own stderr)."""
+
+    def __init__(self, sock_file, fallback):
+        self._f = sock_file
+        self._fallback = fallback
+        self.dead = False
+        self._buf = []
+        self._buffered = 0
+
+    def write(self, s: str) -> int:
+        if not s:
+            return 0
+        self._buf.append(s)
+        self._buffered += len(s)
+        # meters end in \r, phase banners in \n: flush on either so the
+        # client renders progress live; cap buffering for raw writes
+        if "\n" in s or "\r" in s or self._buffered > 4096:
+            self.flush()
+        return len(s)
+
+    def flush(self) -> None:
+        if not self._buf:
+            return
+        chunk = "".join(self._buf)
+        self._buf.clear()
+        self._buffered = 0
+        if self.dead:
+            self._fallback.write(chunk)
+            self._fallback.flush()
+            return
+        try:
+            self._f.write(json.dumps({"log": chunk}).encode() + b"\n")
+            self._f.flush()
+        except (OSError, ValueError):  # dead client / closed file
+            self.dead = True
+            self._fallback.write(
+                "* client connection lost; job continues, log follows *\n"
+            )
+            self._fallback.write(chunk)
+            self._fallback.flush()
 
 
 def _strip_flag(argv, flag, has_value=True):
@@ -48,10 +107,67 @@ def _strip_flag(argv, flag, has_value=True):
     return out
 
 
-def serve_forever(socket_path: str, platform: str = "auto") -> int:
-    """Run the job loop until SIGTERM/SIGINT.  Returns exit status."""
+def _serve_one(conn, jobs: int, real_stderr) -> "tuple[int, bool]":
+    """Handle one connection.  Returns (jobs, shutdown_requested).
+    Raises nothing: all socket errors are contained here."""
     from . import cli
 
+    conn.settimeout(_CONN_TIMEOUT_S)
+    f = conn.makefile("rwb")
+
+    def _reply(obj) -> None:
+        try:
+            f.write(json.dumps(obj).encode() + b"\n")
+            f.flush()
+        except (OSError, ValueError):
+            pass  # dead client: the reply has nowhere to go
+
+    try:
+        line = f.readline()
+    except OSError:
+        return jobs, False
+    if not line:
+        return jobs, False
+    try:
+        req = json.loads(line)
+    except ValueError:
+        _reply({"status": -1, "error": "bad request"})
+        return jobs, False
+    if req.get("shutdown"):
+        _reply({"status": 0, "job": jobs})
+        return jobs, True
+
+    argv = req.get("argv", [])
+    # the daemon owns platform selection and must not recurse
+    for flag in ("--platform", "--serve", "--connect"):
+        argv = _strip_flag(argv, flag)
+    jobs += 1
+    t0 = time.perf_counter()
+    log = _SocketLog(f, real_stderr)
+    old_stderr, sys.stderr = sys.stderr, log
+    try:
+        status = cli.main(argv)
+    except SystemExit as exc:
+        status = int(exc.code or 0)
+    except Exception as exc:  # job errors must not kill the daemon
+        print(f"error: {exc}", file=log)
+        status = -1
+    finally:
+        sys.stderr = old_stderr
+        try:
+            log.flush()
+        except Exception:
+            pass
+    _reply({
+        "status": status,
+        "job": jobs,
+        "elapsed_s": round(time.perf_counter() - t0, 3),
+    })
+    return jobs, False
+
+
+def serve_forever(socket_path: str, platform: str = "auto") -> int:
+    """Run the job loop until SIGTERM/SIGINT.  Returns exit status."""
     if platform != "auto":
         import jax
 
@@ -70,46 +186,12 @@ def serve_forever(socket_path: str, platform: str = "auto") -> int:
         while True:
             conn, _ = srv.accept()
             with conn:
-                f = conn.makefile("rwb")
-                line = f.readline()
-                if not line:
-                    continue
                 try:
-                    req = json.loads(line)
-                except ValueError:
-                    f.write(b'{"status": -1, "error": "bad request"}\n')
-                    f.flush()
-                    continue
-                argv = req.get("argv", [])
-                if req.get("shutdown"):
-                    f.write(json.dumps({"status": 0, "job": jobs}).encode()
-                            + b"\n")
-                    f.flush()
-                    return 0
-                # the daemon owns platform selection and must not recurse
-                for flag in ("--platform", "--serve", "--connect"):
-                    argv = _strip_flag(argv, flag)
-                jobs += 1
-                t0 = time.perf_counter()
-                log = io.StringIO()
-                old_stderr, sys.stderr = sys.stderr, log
-                try:
-                    status = cli.main(argv)
-                except SystemExit as exc:
-                    status = int(exc.code or 0)
-                except Exception as exc:  # job errors must not kill the daemon
-                    print(f"error: {exc}", file=log)
-                    status = -1
-                finally:
-                    sys.stderr = old_stderr
-                reply = {
-                    "status": status,
-                    "job": jobs,
-                    "elapsed_s": round(time.perf_counter() - t0, 3),
-                    "log": log.getvalue(),
-                }
-                f.write(json.dumps(reply).encode() + b"\n")
-                f.flush()
+                    jobs, shutdown = _serve_one(conn, jobs, sys.stderr)
+                except OSError:
+                    continue  # connection-level failure: next client
+            if shutdown:
+                return 0
     except KeyboardInterrupt:
         return 0
     finally:
@@ -119,7 +201,8 @@ def serve_forever(socket_path: str, platform: str = "auto") -> int:
 
 
 def submit(socket_path: str, argv, shutdown: bool = False) -> int:
-    """Ship one invocation to the daemon; relay its log; return status."""
+    """Ship one invocation to the daemon; relay its streamed log frames
+    live to stderr; return the job's exit status."""
     c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     try:
         c.connect(socket_path)
@@ -127,6 +210,7 @@ def submit(socket_path: str, argv, shutdown: bool = False) -> int:
         print(f"error: cannot reach daemon at '{socket_path}': {exc}",
               file=sys.stderr)
         return -1
+    reply = None
     with c:
         f = c.makefile("rwb")
         req = {"argv": list(argv)}
@@ -134,13 +218,17 @@ def submit(socket_path: str, argv, shutdown: bool = False) -> int:
             req["shutdown"] = True
         f.write(json.dumps(req).encode() + b"\n")
         f.flush()
-        line = f.readline()
-    if not line:
+        for line in f:
+            msg = json.loads(line)
+            if "status" in msg:
+                reply = msg
+                break
+            if "log" in msg:  # incremental job stderr
+                sys.stderr.write(msg["log"])
+                sys.stderr.flush()
+    if reply is None:
         print("error: daemon closed the connection", file=sys.stderr)
         return -1
-    reply = json.loads(line)
-    if reply.get("log"):
-        sys.stderr.write(reply["log"])
     if not shutdown:
         print(
             f"** job {reply.get('job')} done in {reply.get('elapsed_s')}s "

@@ -41,13 +41,26 @@ def _wait_socket(path, proc, timeout=60.0):
 
 
 def _submit(sock_path, payload):
+    """Submit a request and drain the framed reply stream: {"log": ...}
+    frames then the final status frame.  Returns the final frame with the
+    concatenated log re-attached under "log" plus the frame count under
+    "n_log_frames" (streaming-order assertions)."""
     c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     c.connect(sock_path)
     f = c.makefile("rwb")
     f.write(json.dumps(payload).encode() + b"\n")
     f.flush()
-    reply = json.loads(f.readline())
+    logs, reply = [], None
+    for line in f:
+        msg = json.loads(line)
+        if "status" in msg:
+            reply = msg
+            break
+        logs.append(msg.get("log", ""))
     c.close()
+    assert reply is not None, "daemon closed the stream without a status"
+    reply["log"] = "".join(logs)
+    reply["n_log_frames"] = len(logs)
     return reply
 
 
@@ -83,6 +96,9 @@ def test_daemon_serves_jobs_and_shuts_down(tmp_path):
         assert r2["status"] == 0, r2.get("log")
         assert r2["job"] == 2, "daemon must persist across jobs"
         assert "SIFT predictions" in r2["log"]
+        # the log STREAMS: phase banners arrive as separate frames ahead
+        # of the final status, not one blob at completion
+        assert r2["n_log_frames"] >= 2
 
         for out in (out1, out2):
             for name in ("LACI_ECOLI", "PURR_SALTY"):
@@ -100,6 +116,62 @@ def test_daemon_serves_jobs_and_shuts_down(tmp_path):
         proc.wait(timeout=30)
         assert proc.returncode == 0
         assert not os.path.exists(sock)
+    finally:
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGTERM)
+            proc.wait(timeout=10)
+
+
+def test_daemon_survives_client_disconnect_midjob(tmp_path):
+    """A client that dies mid-job (the kill -9 scenario, VERDICT r4 weak
+    #2) must not take the daemon down; the abandoned job runs to
+    completion (its output files appear) and the next client is served."""
+    sock = str(tmp_path / "d.sock")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "sift4g_tpu", "--serve", sock,
+         "--platform", "cpu"],
+        stderr=subprocess.PIPE, env=env,
+    )
+    try:
+        _wait_socket(sock, proc)
+        out1 = tmp_path / "o1"
+        out2 = tmp_path / "o2"
+        out1.mkdir()
+        out2.mkdir()
+        base = [
+            "-q", os.path.join(TEST_FILES, "query.fasta"),
+            "-d", os.path.join(TEST_FILES, "sample_protein_database.fa"),
+            "--subst", TEST_FILES, "--backend", "numpy",
+        ]
+        # start a job, read ONE streamed frame (proof the job is running),
+        # then vanish without reading the rest
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c.connect(sock)
+        f = c.makefile("rwb")
+        f.write(json.dumps(
+            {"argv": base + ["--out", str(out1)]}
+        ).encode() + b"\n")
+        f.flush()
+        first = f.readline()
+        assert b"log" in first
+        c.close()  # abrupt disconnect mid-job
+
+        # the daemon must serve the next client normally
+        r2 = _submit(sock, {"argv": base + ["--out", str(out2)]})
+        assert r2["status"] == 0, r2.get("log")
+        assert r2["job"] == 2
+        # and the abandoned job completed its outputs
+        for name in ("LACI_ECOLI", "PURR_SALTY"):
+            assert (out1 / f"{name}.SIFTprediction").is_file()
+            assert filecmp.cmp(
+                out1 / f"{name}.SIFTprediction",
+                os.path.join(GOLDEN, f"{name}.SIFTprediction"),
+                shallow=False,
+            )
+        assert _submit(sock, {"shutdown": True})["status"] == 0
+        proc.wait(timeout=30)
     finally:
         if proc.poll() is None:
             proc.send_signal(signal.SIGTERM)
