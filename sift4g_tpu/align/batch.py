@@ -240,6 +240,19 @@ def resident_db_cached(host_codes: np.ndarray, offsets: np.ndarray,
     return _RESIDENT_CACHE.get("key") == _resident_key(host_codes, offsets, mesh)
 
 
+def drop_resident_db() -> bool:
+    """Release the live HBM-resident database (device buffers freed once
+    JAX drops the refs).  The predict phase calls this after align in
+    one-shot CLI runs: the measured Q_CHUNK=64 predict regression was HBM
+    co-residency with the ~2 GB resident DB (docs/PLATFORM.md), and after
+    align the DB has no further use in the run.  Serve-daemon jobs keep
+    it (the re-upload would cost more than it frees — predict_batch
+    decides).  Returns True when something was dropped."""
+    had = "db" in _RESIDENT_CACHE
+    _RESIDENT_CACHE.clear()
+    return had
+
+
 def get_resident_db(host_codes: np.ndarray, offsets: np.ndarray,
                     mesh=None) -> ResidentDB:
     """One live ResidentDB at a time, keyed by (backing file, record

@@ -40,6 +40,9 @@ from .subst import parse_subst_line
 _SKIP_COLS = (9, 14, 20)  # J, O, U
 
 
+_TMP_SEQ = __import__("itertools").count()
+
+
 @contextlib.contextmanager
 def atomic_output(path: str, mode: str = "w"):
     """Write to ``path`` atomically: a temp file in the same directory is
@@ -47,8 +50,11 @@ def atomic_output(path: str, mode: str = "w"):
     crash mid-write can never leave a truncated file under the final name.
     ``--resume`` (pipeline.py) relies on this: an existing output IS a
     complete output.  The pid suffix keeps concurrent writers (multi-host
-    processes sharing --out) from clobbering each other's temp files."""
-    tmp = f"{path}.tmp.{os.getpid()}"
+    processes sharing --out) apart; the sequence number keeps SAME-process
+    concurrent writers to one path apart (duplicate query names write
+    from pool threads — last replace wins atomically, the reference's
+    last-writer-wins semantics without interleaving)."""
+    tmp = f"{path}.tmp.{os.getpid()}.{next(_TMP_SEQ)}"
     fp = open(tmp, mode)
     try:
         yield fp

@@ -113,6 +113,9 @@ class PipelineConfig:
     resume: bool = False
     # local device indices for alignment (reference --cards); None = all
     cards: Optional[tuple] = None
+    # caller-provided PhaseMetrics (benchmark harnesses read the phase
+    # table back after the run; None = pipeline-internal)
+    metrics: Optional[object] = None
 
 
 def align_database(
@@ -650,7 +653,7 @@ def _resume_check_manifest(cfg: PipelineConfig, log) -> None:
 def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
     """Run the full pipeline; returns the list of processed queries."""
     log = cfg.log
-    metrics = PhaseMetrics(log=log, enabled=cfg.timings)
+    metrics = cfg.metrics or PhaseMetrics(log=log, enabled=cfg.timings)
     queries = read_fasta(cfg.query_path)
     if cfg.query_range is not None:
         lo, hi = cfg.query_range

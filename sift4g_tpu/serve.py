@@ -173,6 +173,10 @@ def serve_forever(socket_path: str, platform: str = "auto") -> int:
 
         jax.config.update("jax_platforms", platform)
 
+    # jobs must know they run under the daemon: the resident-DB drop
+    # heuristic keeps uploads across jobs there (predict_batch)
+    os.environ["SIFT4G_TPU_IN_DAEMON"] = "1"
+
     if os.path.exists(socket_path):
         os.unlink(socket_path)
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)

@@ -160,8 +160,12 @@ def test_multihost_synthetic_db_matches_single_process(tmp_path):
         "--backend", "native", "--sub-results",
     ])
 
-    names = sorted(os.listdir(single))
-    assert names and names == sorted(os.listdir(multi))
+    # the run manifest (.sift4g_tpu_run.json) is written by run_pipeline
+    # only; compare the pipeline OUTPUTS
+    names = sorted(f for f in os.listdir(single) if not f.startswith("."))
+    assert names and names == sorted(
+        f for f in os.listdir(multi) if not f.startswith(".")
+    )
     for name in names:
         assert filecmp.cmp(single / name, multi / name, shallow=False), (
             f"{name} differs between single-process and 2-host runs"
@@ -226,8 +230,12 @@ def test_multihost_screened_resident_matches_oracle(tmp_path):
         extra_env={"SIFT4G_TPU_GROUPED_IMPL": "xla"},
     )
 
-    names = sorted(os.listdir(single))
-    assert names and names == sorted(os.listdir(multi))
+    # the run manifest (.sift4g_tpu_run.json) is written by run_pipeline
+    # only; compare the pipeline OUTPUTS
+    names = sorted(f for f in os.listdir(single) if not f.startswith("."))
+    assert names and names == sorted(
+        f for f in os.listdir(multi) if not f.startswith(".")
+    )
     for name in names:
         assert filecmp.cmp(single / name, multi / name, shallow=False), (
             f"{name} differs between oracle single-process and the "

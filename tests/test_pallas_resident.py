@@ -446,7 +446,9 @@ def test_pipeline_resident_outputs_match_slab(tmp_path, monkeypatch):
         )
         with pltpu.force_tpu_interpret_mode():
             run_pipeline(cfg)
-        outs[mode] = sorted(os.listdir(out))
+        outs[mode] = sorted(
+            f for f in os.listdir(out) if f.endswith(".SIFTprediction")
+        )
     assert outs["on"] == outs["off"] and len(outs["on"]) == 3
     for name in outs["on"]:
         assert filecmp.cmp(
@@ -573,7 +575,9 @@ def test_pipeline_mesh_resident_enabled_and_matches(tmp_path, monkeypatch):
             log=open(os.devnull, "w"),
         )
         run_pipeline(cfg)
-        outs[mode] = sorted(os.listdir(out))
+        outs[mode] = sorted(
+            f for f in os.listdir(out) if f.endswith(".SIFTprediction")
+        )
     batch_mod._RESIDENT_CACHE.clear()
     assert seen["mesh"] is not None, "aligner had no mesh"
     assert seen["resident"] is not None, "resident refused under the mesh"
