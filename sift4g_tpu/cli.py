@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "queries always use the host oracle")
     p.add_argument("--timings", action="store_true",
                    help="print per-phase wall-clock and throughput counters")
+    p.add_argument("--cache-dir", default="",
+                   help="directory for the binary FASTA parse caches "
+                   "(default: next to each input file). Use for read-only "
+                   "or shared database directories; cache filenames hash "
+                   "the input path+size+mtime so databases never collide. "
+                   "Equivalent to SIFT4G_TPU_CACHE_DIR")
     p.add_argument("--overlap", default="auto", choices=["auto", "on", "off"],
                    help="overlap the prefilter scan with device scoring "
                    "(default: auto — on when an accelerator, the parse "
@@ -162,6 +168,15 @@ def main(argv=None) -> int:
 
     if args.shutdown:
         return fail("--shutdown requires --connect SOCKET")
+
+    if args.cache_dir:
+        if not os.path.isdir(args.cache_dir):
+            try:
+                os.makedirs(args.cache_dir, exist_ok=True)
+            except OSError as exc:
+                return fail(f"cannot create cache directory "
+                            f"'{args.cache_dir}': {exc}")
+        os.environ["SIFT4G_TPU_CACHE_DIR"] = args.cache_dir
 
     if args.platform != "auto":
         try:

@@ -194,17 +194,21 @@ def test_multihost_query_sharded_matches_goldens(tmp_path):
 
 
 def test_multihost_screened_resident_matches_oracle(tmp_path):
-    """VERDICT r3 item 8: the multihost workload must also cover the
-    production screened + resident-eligible config.  2 hosts run
-    backend=pallas (grouped twin via SIFT4G_TPU_GROUPED_IMPL=xla — Mosaic
-    interpret under shard_map is pathologically slow on CPU meshes) with
-    --resident-db on and device-side screening active (default); outputs
-    must byte-equal a single-process NumPy-oracle run."""
+    """VERDICT r3 item 8 / r4 item 8: the multihost workload must cover
+    the production screened + resident + DEVICE-PREDICT config.  2 hosts
+    run backend=pallas (grouped twin via SIFT4G_TPU_GROUPED_IMPL=xla —
+    Mosaic interpret under shard_map is pathologically slow on CPU
+    meshes) with --resident-db on, device-side screening active
+    (default), and --predict-backend device; the queries carry .subst
+    files so the device path is the f32-screen + sparse-f64 hybrid whose
+    outputs are byte-identical — everything must byte-equal a
+    single-process NumPy-oracle host-predict run."""
     data = tmp_path / "data"
     subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(os.path.dirname(DRIVER)),
                                       "tools", "make_synthetic_db.py"),
-         str(data), "--n-db", "6000", "--n-q", "3", "--mean-len", "220"],
+         str(data), "--n-db", "6000", "--n-q", "3", "--mean-len", "220",
+         "--subst-per-query", "4"],
         check=True, capture_output=True,
         cwd=os.path.dirname(os.path.dirname(DRIVER)),
     )
@@ -217,6 +221,7 @@ def test_multihost_screened_resident_matches_oracle(tmp_path):
     cfg = PipelineConfig(
         query_path=q, database_path=db, out_path=str(single),
         align_backend="numpy", max_candidates=300, sub_results=True,
+        subst_path=str(data),
         log=open(os.devnull, "w"),
     )
     run_pipeline(cfg)
@@ -226,6 +231,7 @@ def test_multihost_screened_resident_matches_oracle(tmp_path):
     _run_multihost(
         ["-q", q, "-d", db, "--out", str(multi),
          "--backend", "pallas", "--resident-db", "on",
+         "--subst", str(data), "--predict-backend", "device",
          "--max-candidates", "300", "--sub-results"],
         extra_env={"SIFT4G_TPU_GROUPED_IMPL": "xla"},
     )

@@ -94,6 +94,14 @@ def main():
                     choices=["host", "device"],
                     help="matrix-mode prediction path (device = bucketed "
                     "vmapped scores, the many-query missense mode)")
+    ap.add_argument("--subst", default="",
+                    help="substitutions directory (subst-mode benchmark — "
+                    "the reference's product mode; see make_synthetic_db "
+                    "--subst-per-query)")
+    ap.add_argument("--also-subst", default="", metavar="DIR",
+                    help="after the scheduled runs, run two more WARM "
+                    "passes with --subst DIR in the same process (shares "
+                    "the compile pass: matrix vs subst A/B in one session)")
     ap.add_argument("--resident-db", default="auto",
                     choices=["auto", "on", "off"],
                     help="HBM-resident database scoring (A/B knob)")
@@ -123,6 +131,7 @@ def main():
         out_path=out_dir,
         align_backend=args.backend,
         max_candidates=args.max_candidates,
+        subst_path=args.subst,
         timings=True,
         overlap=args.overlap,
         predict_backend=args.predict_backend,
@@ -137,7 +146,10 @@ def main():
     else:
         tags = ["cold", "warm"] if args.repeat else ["cold"]
         schedule = [(t, args.overlap) for t in tags]
+    if args.also_subst:
+        schedule += [("subst-warm1", args.overlap), ("subst-warm2", args.overlap)]
     for tag, ov in schedule:
+        cfg.subst_path = args.also_subst if tag.startswith("subst") else args.subst
         cfg.overlap = ov
         cfg.metrics = PhaseMetrics(log=sys.stderr, enabled=True)
         t0 = time.perf_counter()
