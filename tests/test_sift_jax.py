@@ -117,3 +117,38 @@ def test_bucket_shapes():
 
     b = bucket_shapes([37, 61, 37, 200], [6, 12, 3, 30])
     assert b == {(128, 64): [0, 1, 2], (256, 64): [3]}
+
+
+def test_predict_batch_depth_invariance(tmp_path, monkeypatch):
+    """The software-pipeline depth (launches in flight) must not change a
+    byte of output — DEPTH=1 (round-4 behaviour) vs DEPTH=3 (beyond the
+    default 2) produce identical files."""
+    import filecmp
+    import os
+
+    from sift4g_tpu.core.chain import Chain
+    from sift4g_tpu.sift import predict_batch
+    from sift4g_tpu.sift.predict import prepare_rows
+    from sift4g_tpu.sift.predict_batch import predict_matrix_batch
+
+    rng = np.random.default_rng(23)
+    queries, prepared = [], []
+    for qi, (n, L) in enumerate([(6, 37), (12, 61), (3, 37), (8, 61), (5, 37)]):
+        rows = _random_alignment(rng, n, L)
+        letters = (rows[0] % 20 + ord("A")).astype(np.uint8).tobytes().decode()
+        q = Chain.from_string(f"q{qi}", letters)
+        names = [f"t{j}" for j in range(n - 1)]
+        queries.append(q)
+        prepared.append(prepare_rows(q, list(names), rows[1:], 100))
+
+    outs = {}
+    for depth in (1, 3):
+        out = tmp_path / f"d{depth}"
+        out.mkdir()
+        monkeypatch.setattr(predict_batch, "DEPTH", depth)
+        predict_matrix_batch(queries, prepared, str(out), q_chunk=2)
+        outs[depth] = out
+    names = sorted(os.listdir(outs[1]))
+    assert len(names) == 5 and names == sorted(os.listdir(outs[3]))
+    for name in names:
+        assert filecmp.cmp(outs[1] / name, outs[3] / name, shallow=False)
