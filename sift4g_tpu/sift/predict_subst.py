@@ -75,14 +75,17 @@ def sparse_exact_scores(
     which are per-position, run on the subset).  Property-tested equal in
     tests/test_predict_subst.py."""
     seq_weights, ndiff = calc_seq_weights(rows, raw_matrix)
-    weighted, tot_weights = create_matrix(rows, seq_weights)
+    # the weighted count matrix, epsilon and Dirichlet tree are all
+    # per-position: computing them on the COLUMN subset is bit-identical
+    # to slicing the full computation (each column's summation tree and
+    # elementwise chain is independent of which other columns exist) and
+    # drops the remaining O(26*n*L) host term to O(26*n*|positions|)
+    sub_rows = np.ascontiguousarray(rows[:, positions])
+    weighted, tot_weights = create_matrix(sub_rows, seq_weights)
     max_aa = find_max_aa(weighted)
-    eps = calc_epsilon(weighted, max_aa, ndiff)
-    sub = weighted[positions]
-    diric = calc_diri(sub)
-    sift = (sub + eps[positions, None] * diric) / (
-        tot_weights[positions] + eps[positions]
-    )[:, None]
+    eps = calc_epsilon(weighted, max_aa, ndiff[positions])
+    diric = calc_diri(weighted)
+    sift = (weighted + eps[:, None] * diric) / (tot_weights + eps)[:, None]
     mx = find_max_aa(sift)
     sift = sift / sift[np.arange(positions.shape[0]), mx][:, None]
     return sift

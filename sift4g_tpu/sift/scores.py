@@ -222,11 +222,22 @@ def basic_matrix_construction(rows: np.ndarray, seq_weights: np.ndarray) -> np.n
 
     matrix = np.zeros((L, 26), dtype=np.float64)
     w = seq_weights  # (n,)
+    # per-letter scan with precomputed presence + reused scratch: this is
+    # the subst-mode hybrid's host cost center (one full call per distinct
+    # keep mask, add_median_seq_info).  w * mask (0.0/1.0) equals the
+    # previous np.where(sel, w, 0.0) bit-for-bit (w is finite >= 0), and
+    # the per-column pairwise sum tree is unchanged, so results are
+    # bit-identical.
+    present = np.bincount(rows.ravel() & 31, minlength=32) > 0
+    wcol = w[:, None]
+    sel = np.empty(rows.shape, dtype=bool)
+    scratch = np.empty(rows.shape, dtype=np.float64)
     for aa in range(26):
-        sel = (rows == aa)
-        if not sel.any():
+        if not present[aa]:
             continue
-        contrib = np.where(sel, w[:, None], 0.0).sum(axis=0)  # (L,)
+        np.equal(rows, aa, out=sel)
+        np.multiply(wcol, sel, out=scratch)
+        contrib = scratch.sum(axis=0)  # (L,)
         if aa == iB:
             matrix[:, iD] += part_D * contrib / freq[iD]
             matrix[:, iN] += part_N * contrib / freq[iN]
