@@ -173,8 +173,8 @@ def serve_forever(socket_path: str, platform: str = "auto") -> int:
 
         jax.config.update("jax_platforms", platform)
 
-    # jobs must know they run under the daemon: the resident-DB drop
-    # heuristic keeps uploads across jobs there (predict_batch)
+    # jobs can detect daemon context (e.g. knobs that trade per-job setup
+    # against cross-job warmth)
     os.environ["SIFT4G_TPU_IN_DAEMON"] = "1"
 
     if os.path.exists(socket_path):

@@ -54,16 +54,16 @@ DEPTH = int(os.environ.get("SIFT4G_TPU_PREDICT_DEPTH", "2"))
 
 
 def _maybe_drop_resident() -> None:
-    """Free the HBM-resident align database before the predict launches
-    (its job is done in a one-shot run; the freed ~2 GB removes the
-    allocator pressure that made Q_CHUNK=64 regress — docs/PLATFORM.md).
-    Daemon jobs keep it: the next job's re-upload would cost more than
-    the predict phase gains.  SIFT4G_TPU_PREDICT_DROP_RESIDENT=1/0
-    forces either way."""
-    knob = os.environ.get("SIFT4G_TPU_PREDICT_DROP_RESIDENT", "auto")
-    if knob == "0":
-        return
-    if knob != "1" and os.environ.get("SIFT4G_TPU_IN_DAEMON"):
+    """SIFT4G_TPU_PREDICT_DROP_RESIDENT=1: free the HBM-resident align
+    database before the predict launches — the enabler for the
+    Q_CHUNK=64 ladder arm (the measured Q_CHUNK=64 predict regression
+    was HBM co-residency with the ~2 GB resident DB, docs/PLATFORM.md).
+    DEFAULT OFF: at the default Q_CHUNK=32 co-residency costs nothing,
+    while dropping costs the NEXT warm run/daemon job a full resident
+    re-upload through the relay (chip-measured 2026-08-20: warm align
+    54.3 s vs the 34.1 s record with the drop active in a repeat
+    process)."""
+    if os.environ.get("SIFT4G_TPU_PREDICT_DROP_RESIDENT", "0") != "1":
         return
     from ..align.batch import drop_resident_db
 
