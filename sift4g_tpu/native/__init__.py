@@ -131,6 +131,20 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     if hasattr(lib, "sift4g_extract"):  # stale .so tolerance
         lib.sift4g_extract.restype = None
         lib.sift4g_extract.argtypes = _extract_sig
+    if hasattr(lib, "sift4g_basic_matrix"):
+        lib.sift4g_basic_matrix.restype = c_i64
+        lib.sift4g_basic_matrix.argtypes = [
+            c_u8_p, c_i64_p, c_i64, c_i64,           # rows, keep, m, L
+            ctypes.POINTER(ctypes.c_double), c_u8_p,  # aa_freq, valid mask
+            ctypes.POINTER(ctypes.c_double),          # out (L, 26)
+        ]
+    if hasattr(lib, "sift4g_seq_weights"):
+        lib.sift4g_seq_weights.restype = c_i64
+        lib.sift4g_seq_weights.argtypes = [
+            c_u8_p, c_i64, c_i64, c_u8_p,             # rows, n, L, valid
+            ctypes.POINTER(ctypes.c_double),          # out w (n,)
+            ctypes.POINTER(ctypes.c_double),          # out ndiff (L,)
+        ]
     if hasattr(lib, "sift4g_extract_checked"):
         # returns -1 or the first corrupt record's index (callers raise)
         lib.sift4g_extract_checked.restype = c_i64

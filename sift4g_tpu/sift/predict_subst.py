@@ -65,6 +65,32 @@ from ..constants import TOLERANCE_PROB_THRESHOLD
 EPS_SCREEN = float(os.environ.get("SIFT4G_TPU_SUBST_EPS", "1e-3"))
 
 
+def _seq_weights_fast(rows: np.ndarray, raw_matrix: np.ndarray):
+    """calc_seq_weights via native/median.cpp when available (bitwise
+    equal — it replicates numpy's pairwise reduction orders; fuzz-locked
+    with the rest of the median tree in tests/test_native.py)."""
+    from .. import native
+    from ..constants import VALID_AA_MASK
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "sift4g_seq_weights"):
+        return calc_seq_weights(rows, raw_matrix)
+    import ctypes
+
+    r = np.ascontiguousarray(rows, dtype=np.uint8)
+    n, L = r.shape
+    w = np.empty(n, dtype=np.float64)
+    ndiff = np.empty(L, dtype=np.float64)
+    valid_u8 = np.ascontiguousarray(VALID_AA_MASK, dtype=np.uint8)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.sift4g_seq_weights(
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, L,
+        valid_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w.ctypes.data_as(dp), ndiff.ctypes.data_as(dp),
+    )
+    return w, ndiff
+
+
 def sparse_exact_scores(
     rows: np.ndarray, raw_matrix: np.ndarray, positions: np.ndarray
 ) -> np.ndarray:
@@ -74,7 +100,7 @@ def sparse_exact_scores(
     computed in full; only the Dirichlet tree and the blend/normalize,
     which are per-position, run on the subset).  Property-tested equal in
     tests/test_predict_subst.py."""
-    seq_weights, ndiff = calc_seq_weights(rows, raw_matrix)
+    seq_weights, ndiff = _seq_weights_fast(rows, raw_matrix)
     # the weighted count matrix, epsilon and Dirichlet tree are all
     # per-position: computing them on the COLUMN subset is bit-identical
     # to slicing the full computation (each column's summation tree and

@@ -269,6 +269,37 @@ def calculate_median_seq_info(matrix: np.ndarray) -> float:
     return float(get_median(pos_freq, L))
 
 
+def _basic_matrix_native(rows: np.ndarray, keep: np.ndarray):
+    """native/median.cpp sift4g_basic_matrix: the counts -> Henikoff
+    weights -> percentage-matrix tree for one X-free row subset, bitwise
+    equal to the numpy pipeline (it replicates numpy's pairwise/sequential
+    reduction orders; fuzz-locked in tests).  The log/median tail stays
+    in numpy — np.log's vectorized kernel differs from libm in the last
+    ulp.  Returns the (L, 26) matrix or None (no native library)."""
+    from .. import native
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "sift4g_basic_matrix"):
+        return None
+    import ctypes
+
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    keep_idx = np.ascontiguousarray(keep, dtype=np.int64)
+    out = np.empty((rows.shape[1], 26), dtype=np.float64)
+    valid_u8 = np.ascontiguousarray(VALID_AA_MASK, dtype=np.uint8)
+    freq = np.ascontiguousarray(AA_FREQUENCY, dtype=np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.sift4g_basic_matrix(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        keep_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        keep_idx.shape[0], rows.shape[1],
+        freq.ctypes.data_as(dp),
+        valid_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(dp),
+    )
+    return out
+
+
 def add_median_seq_info(
     rows: np.ndarray, median_for_pos: Dict[str, float]
 ) -> None:
@@ -281,7 +312,10 @@ def add_median_seq_info(
     count/weights/percentage/median recomputation (the reference's
     per-position rescan, sift_scores.cpp:120-147) is memoized per distinct
     keep mask — bit-identical, since identical subsets run the identical
-    arithmetic."""
+    arithmetic.  The arithmetic tree itself runs in C++ when available
+    (_basic_matrix_native, ~15x at missense shape — the subst-mode
+    hybrid's host cost center); the numpy pipeline below is the fallback
+    and the parity oracle."""
     cache: Dict[bytes, float] = {}
     for key, value in list(median_for_pos.items()):
         if value != -1:
@@ -293,13 +327,15 @@ def add_median_seq_info(
         if hit is not None:
             median_for_pos[key] = hit
             continue
-        sub = rows[keep]
-        if sub.shape[0] == 0:
+        if not keep.any():
             median_for_pos[key] = cache.setdefault(ck, 0.0)
             continue
-        raw, _ = create_matrix(sub, np.ones(sub.shape[0]))
-        seq_weights, _ = calc_seq_weights(sub, raw)
-        basic = basic_matrix_construction(sub, seq_weights)
+        basic = _basic_matrix_native(rows, np.flatnonzero(keep))
+        if basic is None:
+            sub = rows[keep]
+            raw, _ = create_matrix(sub, np.ones(sub.shape[0]))
+            seq_weights, _ = calc_seq_weights(sub, raw)
+            basic = basic_matrix_construction(sub, seq_weights)
         result = calculate_median_seq_info(basic)
         cache[ck] = result
         median_for_pos[key] = result

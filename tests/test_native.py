@@ -404,3 +404,78 @@ def test_native_extract_corrupt_stream_raises():
     )
     with pytest.raises(IndexError):
         extract_alignment_strings(q, [rec])
+
+
+def test_native_basic_matrix_bitwise_parity_fuzz():
+    """native/median.cpp sift4g_basic_matrix vs the numpy
+    create_matrix -> calc_seq_weights -> basic_matrix_construction
+    pipeline: EXACT float64 equality (the C++ replicates numpy's
+    pairwise/sequential reduction orders), including inf/nan positions
+    (all-zero columns divide by zero exactly like numpy)."""
+    from sift4g_tpu import native
+    from sift4g_tpu.sift.scores import (
+        _basic_matrix_native,
+        basic_matrix_construction,
+        calc_seq_weights,
+        calculate_median_seq_info,
+        create_matrix,
+    )
+
+    if native.load() is None or not hasattr(
+        native.load(), "sift4g_basic_matrix"
+    ):
+        pytest.skip("native basic-matrix unavailable")
+    rng = np.random.default_rng(41)
+    STD = np.array([ord(c) - ord("A") for c in "ACDEFGHIKLMNPQRSTVWYBZ"])
+    for trial in range(40):
+        n = int(rng.integers(1, 420))
+        L = int(rng.integers(1, 500))
+        rows = rng.choice(STD, (n, L)).astype(np.uint8)
+        # X noise + occasional all-X columns (nan rows downstream)
+        xm = rng.random((n, L)) < 0.2
+        rows[xm] = ord("X") - ord("A")
+        if L > 3 and trial % 3 == 0:
+            rows[:, int(rng.integers(L))] = ord("X") - ord("A")
+        m = int(rng.integers(1, n + 1))
+        keep = np.sort(rng.choice(n, m, replace=False))
+
+        got = _basic_matrix_native(rows, keep)
+        sub = rows[keep]
+        raw, _ = create_matrix(sub, np.ones(m))
+        sw, _ = calc_seq_weights(sub, raw)
+        want = basic_matrix_construction(sub, sw)
+        same = (got == want) | (np.isnan(got) & np.isnan(want))
+        assert same.all(), (
+            f"trial {trial}: {np.argwhere(~same)[:5]} "
+            f"{got[~same][:3]} vs {want[~same][:3]}"
+        )
+        # and the downstream median is bit-equal too
+        assert calculate_median_seq_info(got) == calculate_median_seq_info(want)
+
+
+def test_native_seq_weights_bitwise_parity_fuzz():
+    """sift4g_seq_weights vs numpy calc_seq_weights: exact float64
+    equality of (weights, ndiff) on random full-row inputs."""
+    from sift4g_tpu import native
+    from sift4g_tpu.sift.predict_subst import _seq_weights_fast
+    from sift4g_tpu.sift.scores import calc_seq_weights, create_matrix
+
+    if native.load() is None or not hasattr(
+        native.load(), "sift4g_seq_weights"
+    ):
+        pytest.skip("native seq-weights unavailable")
+    rng = np.random.default_rng(47)
+    STD = np.array([ord(c) - ord("A") for c in "ACDEFGHIKLMNPQRSTVWYBZ"])
+    for trial in range(25):
+        n = int(rng.integers(1, 420))
+        L = int(rng.integers(1, 500))
+        rows = rng.choice(STD, (n, L)).astype(np.uint8)
+        xm = rng.random((n, L)) < 0.2
+        rows[xm] = ord("X") - ord("A")
+        raw, _ = create_matrix(rows, np.ones(n))
+        got_w, got_nd = _seq_weights_fast(rows, raw)
+        want_w, want_nd = calc_seq_weights(rows, raw)
+        assert np.array_equal(got_nd, want_nd), trial
+        assert np.array_equal(got_w, want_w), (
+            f"trial {trial}: {np.abs(got_w - want_w).max()}"
+        )
