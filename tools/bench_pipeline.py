@@ -51,24 +51,31 @@ def aggregate(paths):
         if not pool:
             print(f"{path}: no runs", file=sys.stderr)
             continue
-        # top-level phases only (sub-timers like align.fetch nest inside)
-        best = {}
+        # subst-mode predict is a different computation — pool per mode
+        by_mode = {}
         for r in pool:
-            for name, d in r.get("phases", {}).items():
-                if "." in name:
-                    continue
-                s = d.get("seconds", 0.0)
-                if name not in best or s < best[name]:
-                    best[name] = s
-        composite = sum(best.values())
-        best_total = min(r["total_s"] for r in pool)
-        q = pool[0].get("queries", 0)
-        phase_str = " ".join(f"{k}={v:.1f}" for k, v in sorted(best.items()))
-        print(
-            f"{path}: {len(pool)} warm runs | composite(best-of-phases) "
-            f"{composite:.1f}s ({q / composite:.1f} q/s) | best single run "
-            f"{best_total:.1f}s | {phase_str}"
-        )
+            mode = "subst" if "subst" in r.get("tag", "") else "matrix"
+            by_mode.setdefault(mode, []).append(r)
+        for mode, mpool in sorted(by_mode.items()):
+            # top-level phases only (align.fetch etc. nest inside)
+            best = {}
+            for r in mpool:
+                for name, d in r.get("phases", {}).items():
+                    if "." in name:
+                        continue
+                    s = d.get("seconds", 0.0)
+                    if name not in best or s < best[name]:
+                        best[name] = s
+            composite = sum(best.values())
+            best_total = min(r["total_s"] for r in mpool)
+            q = mpool[0].get("queries", 0)
+            phase_str = " ".join(f"{k}={v:.1f}" for k, v in sorted(best.items()))
+            print(
+                f"{path} [{mode}]: {len(mpool)} warm runs | "
+                f"composite(best-of-phases) {composite:.1f}s "
+                f"({q / composite:.1f} q/s) | best single run "
+                f"{best_total:.1f}s | {phase_str}"
+            )
     return 0
 
 
