@@ -853,23 +853,61 @@ def finish_pipeline(
                 ]
             metrics.add("predict.prep", seconds=_time.perf_counter() - t_prep)
             finishers = None
+            subst_exec, subst_futs = None, []
             if subst_paths:
                 from .io.subst import read_subst_lines
-                from .sift.predict_subst import finish_subst_query
+                from .sift.predict_subst import (
+                    finish_subst_query,
+                    finish_subst_task,
+                    make_subst_executor,
+                )
 
+                # at proteome query counts the finishers' GIL-held numpy
+                # share serializes the writer THREAD pool; a small fork
+                # process pool scales them (predict_subst docstrings)
+                subst_exec = make_subst_executor(len(subst_paths), cfg.threads)
                 finishers = [None] * len(device_qis)
                 for k, qi in enumerate(device_qis):
                     sp = subst_paths.get(qi)
                     if sp is None:
                         continue
-                    finishers[k] = (
-                        lambda scores, q=queries[qi], r=prepared[k],
-                        ln=read_subst_lines(sp), op=create_file_name(
+                    args = (
+                        queries[qi], prepared[k], read_subst_lines(sp),
+                        create_file_name(
                             queries[qi].name, cfg.out_path, ".SIFTprediction"
-                        ): finish_subst_query(q, r, ln, scores, op, log=log)
+                        ),
                     )
-            predict_matrix_batch(
-                [queries[qi] for qi in device_qis], prepared, cfg.out_path,
-                threads=cfg.threads, metrics=metrics, finishers=finishers,
-            )
+                    if subst_exec is not None:
+                        finishers[k] = (
+                            lambda scores, a=args: subst_futs.append(
+                                subst_exec.submit(
+                                    finish_subst_task,
+                                    (a[0].name, a[0].letters, a[1], a[2],
+                                     np.ascontiguousarray(scores), a[3]),
+                                )
+                            )
+                        )
+                    else:
+                        finishers[k] = (
+                            lambda scores, a=args:
+                            finish_subst_query(a[0], a[1], a[2], scores,
+                                               a[3], log=log)
+                        )
+            try:
+                predict_matrix_batch(
+                    [queries[qi] for qi in device_qis], prepared,
+                    cfg.out_path, threads=cfg.threads, metrics=metrics,
+                    finishers=finishers,
+                )
+                t_drain = _time.perf_counter()
+                for fut in subst_futs:
+                    fut.result()  # surface worker exceptions
+                if subst_futs:
+                    metrics.add(
+                        "predict.substdrain",
+                        seconds=_time.perf_counter() - t_drain,
+                    )
+            finally:
+                if subst_exec is not None:
+                    subst_exec.shutdown()
     metrics.report()

@@ -117,6 +117,54 @@ def sparse_exact_scores(
     return sift
 
 
+def finish_subst_task(payload) -> None:
+    """Process-pool entry for one subst finisher (picklable flat payload;
+    used by the pipeline when the subst query count is large — the
+    finisher's GIL-held numpy share (~6 ms/query) serializes a THREAD
+    pool, measured as ~125 s of predict.writedrain at 20k queries).
+    Workers import only numpy/scipy modules (no JAX)."""
+    (name, letters, rows, subst_lines, f32_scores, out_path) = payload
+    query = Chain.from_string(name, letters)
+    finish_subst_query(query, rows, subst_lines, f32_scores, out_path)
+
+
+def make_subst_executor(n_subst: int, threads: int):
+    """A fork ProcessPoolExecutor for the finishers, or None to run them
+    inline on the caller's thread pool.  SIFT4G_TPU_SUBST_PROCS forces a
+    worker count (0 disables); default: engage from 256 subst queries
+    with min(3, cores-1) workers (the parent keeps a core for packing
+    and device fetches)."""
+    import multiprocessing
+
+    knob = os.environ.get("SIFT4G_TPU_SUBST_PROCS", "")
+    if knob:
+        n_procs = int(knob)
+    else:
+        if n_subst < 256:
+            return None
+        try:
+            n_cores = len(os.sched_getaffinity(0))
+        except (AttributeError, OSError):
+            n_cores = os.cpu_count() or 1
+        n_procs = min(3, max(1, n_cores - 1))
+    if n_procs <= 0:
+        return None
+    from concurrent.futures import ProcessPoolExecutor
+
+    try:
+        # spawn, not fork: the parent is multi-threaded (writer pool +
+        # JAX runtime threads) when workers start, and a fork could
+        # inherit a lock mid-acquisition and deadlock the child.  Worker
+        # startup re-imports only numpy/scipy modules (~2.4 s, no JAX) —
+        # amortized over hundreds of queries per worker.
+        return ProcessPoolExecutor(
+            max_workers=n_procs,
+            mp_context=multiprocessing.get_context("spawn"),
+        )
+    except (OSError, ValueError):
+        return None
+
+
 def finish_subst_query(
     query: Chain,
     rows: np.ndarray,

@@ -131,3 +131,46 @@ def test_padded_screen_rows_ignored(tmp_path):
         query, rows, lines, padded, str(got), log=io.StringIO()
     )
     assert filecmp.cmp(want, got, shallow=False)
+
+
+def test_subst_process_pool_byte_identical(tmp_path, monkeypatch):
+    """The finisher process pool (SIFT4G_TPU_SUBST_PROCS) produces
+    byte-identical outputs to the inline path through the full pipeline."""
+    import subprocess
+    import sys
+
+    TEST_FILES = "/root/reference/test_files"
+    if not os.path.isdir(TEST_FILES):
+        pytest.skip("reference test files not mounted")
+    from sift4g_tpu.pipeline import PipelineConfig, run_pipeline
+
+    outs = {}
+    for procs in ("0", "2"):
+        out = tmp_path / f"p{procs}"
+        out.mkdir()
+        monkeypatch.setenv("SIFT4G_TPU_SUBST_PROCS", procs)
+        cfg = PipelineConfig(
+            query_path=os.path.join(TEST_FILES, "query.fasta"),
+            database_path=os.path.join(
+                TEST_FILES, "sample_protein_database.fa"),
+            subst_path=TEST_FILES,
+            out_path=str(out),
+            align_backend="numpy",
+            predict_backend="device",
+            log=io.StringIO(),
+        )
+        run_pipeline(cfg)
+        outs[procs] = out
+    for name in ("LACI_ECOLI", "PURR_SALTY"):
+        assert filecmp.cmp(
+            outs["0"] / f"{name}.SIFTprediction",
+            outs["2"] / f"{name}.SIFTprediction",
+            shallow=False,
+        ), name
+        # and against the committed goldens
+        assert filecmp.cmp(
+            outs["2"] / f"{name}.SIFTprediction",
+            os.path.join(os.path.dirname(__file__), "golden",
+                         f"{name}.SIFTprediction"),
+            shallow=False,
+        ), name
