@@ -36,14 +36,15 @@ X_CODE = ord("X") - ord("A")
 
 # queries per device launch: bounds the (Qc, n_pad, L_pad, 26) f32 one-hot
 # intermediate (Qc=32, n=400, L=512 -> ~680 MB peak) while amortizing the
-# per-launch overhead.  64 measured 1.39x faster in ISOLATION (standalone
-# tools/bench_predict.py, 20k synthetic queries) but 2x SLOWER inside the
-# real pipeline (2000q x 2M daemon arms: warm predict 8.0 s at 32 vs
-# 16.6 s at 64) — the 1.4 GB one-hot intermediate co-resident with the
-# 2 GB HBM database triggers the allocator-pressure trap of
-# docs/PLATFORM.md ("co-resident jitted programs poison timing").  32 is
-# the default; the knob remains for resident-off configurations.
-Q_CHUNK = int(os.environ.get("SIFT4G_TPU_PREDICT_QCHUNK", "32"))
+# per-launch overhead.  64 is faster per launch but regresses next to the
+# HBM-resident database (allocator pressure, docs/PLATFORM.md) — UNLESS
+# the resident DB is dropped first.  Auto policy (chip-measured
+# 2026-08-20): >= Q_BIG_THRESHOLD device queries -> Q_CHUNK=64 + drop
+# (20k warm predict 62.9 -> 49.5 s, total 428.8 -> 415.9 s); below it ->
+# 32 + keep (the drop's resident re-upload cost dominated at 2000q:
+# warm align 54.3 vs 34.0 s).  SIFT4G_TPU_PREDICT_QCHUNK forces a width.
+Q_CHUNK = int(os.environ.get("SIFT4G_TPU_PREDICT_QCHUNK", "0"))  # 0 = auto
+Q_BIG_THRESHOLD = 5000
 
 # device launches kept in flight (VERDICT r4 weak #3): with ONE launch in
 # flight the ~30 ms dispatch + relay put + host fill serialize with device
@@ -53,17 +54,14 @@ Q_CHUNK = int(os.environ.get("SIFT4G_TPU_PREDICT_QCHUNK", "32"))
 DEPTH = int(os.environ.get("SIFT4G_TPU_PREDICT_DEPTH", "2"))
 
 
-def _maybe_drop_resident() -> None:
-    """SIFT4G_TPU_PREDICT_DROP_RESIDENT=1: free the HBM-resident align
-    database before the predict launches — the enabler for the
-    Q_CHUNK=64 ladder arm (the measured Q_CHUNK=64 predict regression
+def _maybe_drop_resident(q_chunk: int) -> None:
+    """Free the HBM-resident align database before the predict launches
+    — the Q_CHUNK=64 enabler (the measured Q_CHUNK=64 predict regression
     was HBM co-residency with the ~2 GB resident DB, docs/PLATFORM.md).
-    DEFAULT OFF: at the default Q_CHUNK=32 co-residency costs nothing,
-    while dropping costs the NEXT warm run/daemon job a full resident
-    re-upload through the relay (chip-measured 2026-08-20: warm align
-    54.3 s vs the 34.1 s record with the drop active in a repeat
-    process)."""
-    if os.environ.get("SIFT4G_TPU_PREDICT_DROP_RESIDENT", "0") != "1":
+    Auto: drop exactly when the wide chunk is in use (see Q_CHUNK note);
+    SIFT4G_TPU_PREDICT_DROP_RESIDENT=1/0 forces either way."""
+    knob = os.environ.get("SIFT4G_TPU_PREDICT_DROP_RESIDENT", "auto")
+    if knob == "0" or (knob != "1" and q_chunk < 64):
         return
     from ..align.batch import drop_resident_db
 
@@ -93,7 +91,7 @@ def predict_matrix_batch(
     queries: List[Chain],
     prepared_rows: List[np.ndarray],
     out_dir: str,
-    q_chunk: int = Q_CHUNK,
+    q_chunk: int = 0,  # 0 = auto (env override, else the query-count policy)
     threads: int = 8,
     metrics=None,
     finishers=None,
@@ -120,6 +118,9 @@ def predict_matrix_batch(
     from concurrent.futures import ThreadPoolExecutor
 
     from .scores_jax import sift_scores_from_rows_batch
+
+    if q_chunk <= 0:
+        q_chunk = Q_CHUNK or (64 if len(queries) >= Q_BIG_THRESHOLD else 32)
 
     lens = [r.shape[1] for r in prepared_rows]
     n_rows = [r.shape[0] for r in prepared_rows]
@@ -180,7 +181,7 @@ def predict_matrix_batch(
     import time as _time
     from collections import deque
 
-    _maybe_drop_resident()
+    _maybe_drop_resident(q_chunk)
     t_pack = t_fetch = 0.0
     depth = max(1, DEPTH)
     # the writer pool drains thousands of queued matrix-file writes; fills
