@@ -70,11 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="alignment scoring backend (default: auto — the "
                    "Pallas kernel on TPU, the XLA scan elsewhere)")
     p.add_argument("--predict-backend", default="host", choices=["host", "device"],
-                   help="full-matrix prediction math: host (float64 oracle, "
-                   "bit-parity default) or device (vmapped float32 batches "
-                   "for proteome-scale query counts; last printed decimal "
-                   "may differ on rounding boundaries). Substitution-mode "
-                   "queries always use the host oracle")
+                   help="prediction math: host (float64 oracle, bit-parity "
+                   "default) or device (batched float32 launches for "
+                   "proteome-scale query counts). Under device, matrix-mode "
+                   "files are float32 (last printed decimal may differ on "
+                   "rounding boundaries) while substitution-mode files stay "
+                   "BYTE-IDENTICAL to the host oracle (f32 screen + exact "
+                   "float64 at every printed/threshold position)")
     p.add_argument("--timings", action="store_true",
                    help="print per-phase wall-clock and throughput counters")
     p.add_argument("--cache-dir", default="",

@@ -1,10 +1,10 @@
-"""Device-batched full-matrix SIFT prediction (the 20k-query mode).
+"""Device-batched SIFT prediction (the 20k-query mode).
 
 The reference runs one host thread per query (sift_prediction.cpp:152-162);
-at proteome scale (tens of thousands of matrix-mode queries) the per-query
-float64 host oracle costs ~16 ms each, minutes serially.  This path packs
-matrix-mode queries into (Q, n_pad, L_pad) code tensors bucketed by padded
-query length and runs the vmapped JAX scoring math (scores_jax.py) — one
+at proteome scale (tens of thousands of queries) the per-query float64
+host oracle costs ~16 ms each, minutes serially.  This path packs
+queries into (Q, n_pad, L_pad) code tensors bucketed by padded query
+length and runs the vmapped JAX scoring math (scores_jax.py) — one
 device launch scores a whole bucket chunk.
 
 Numerics: float32 on device.  Agreement with the float64 oracle is ~1e-5
@@ -12,8 +12,10 @@ on the [0, 1] scores (property-tested); the printed 4-decimal matrix can
 therefore differ in the last digit on rare rounding-boundary values, so
 this path is OPT-IN (--predict-backend device) and the bit-parity host
 oracle remains the default.  Substitution-mode queries (.subst present)
-always take the host path: their TOLERATED/DELETERIOUS calls sit directly
-on the 0.05 threshold and stay float64-exact.
+use the device scores only as a SCREEN: per-query finishers
+(predict_subst.py, via the ``finishers`` hook) re-derive every printed
+or threshold-adjacent value exactly in float64, so their output files
+stay byte-identical to the host oracle's.
 
 Padding semantics: 'X' is an invalid amino acid (valid_amino_acid,
 sift_scores.cpp:316-322), so padded positions and padded all-'X' rows
