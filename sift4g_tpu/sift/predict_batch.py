@@ -45,7 +45,17 @@ X_CODE = ord("X") - ord("A")
 # (20k warm predict 62.9 -> 49.5 s, total 428.8 -> 415.9 s); below it ->
 # 32 + keep (the drop's resident re-upload cost dominated at 2000q:
 # warm align 54.3 vs 34.0 s).  SIFT4G_TPU_PREDICT_QCHUNK forces a width.
-Q_CHUNK = int(os.environ.get("SIFT4G_TPU_PREDICT_QCHUNK", "0"))  # 0 = auto
+def _env_int(name: str, default: str) -> int:
+    raw = os.environ.get(name, default)
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"environment variable {name}={raw!r} is not an integer"
+        ) from None
+
+
+Q_CHUNK = _env_int("SIFT4G_TPU_PREDICT_QCHUNK", "0")  # 0 = auto
 Q_BIG_THRESHOLD = 5000
 
 # device launches kept in flight (VERDICT r4 weak #3): with ONE launch in
@@ -53,7 +63,7 @@ Q_BIG_THRESHOLD = 5000
 # compute every chunk (~110 ms x 625 launches at 20k queries).  Two-deep
 # keeps the device busy while the host packs/fetches; each extra slot
 # pins one more (Qc, n_pad, L_pad, 26) result + one packed input in HBM.
-DEPTH = int(os.environ.get("SIFT4G_TPU_PREDICT_DEPTH", "2"))
+DEPTH = _env_int("SIFT4G_TPU_PREDICT_DEPTH", "2")
 
 
 def _maybe_drop_resident(q_chunk: int) -> None:

@@ -138,7 +138,13 @@ def make_subst_executor(n_subst: int, threads: int):
 
     knob = os.environ.get("SIFT4G_TPU_SUBST_PROCS", "")
     if knob:
-        n_procs = int(knob)
+        try:
+            n_procs = int(knob)
+        except ValueError:
+            raise ValueError(
+                f"environment variable SIFT4G_TPU_SUBST_PROCS={knob!r} "
+                "is not an integer"
+            ) from None
     else:
         if n_subst < 256:
             return None
