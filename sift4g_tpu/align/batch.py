@@ -25,6 +25,7 @@ from typing import List, Sequence
 import numpy as np
 
 from ..core.scorers import Scorer
+from ..utils import env_int as _env_int
 from .dp_numpy import score_pair
 
 PAD_CODE = 31
@@ -242,12 +243,13 @@ def resident_db_cached(host_codes: np.ndarray, offsets: np.ndarray,
 
 def drop_resident_db() -> bool:
     """Release the live HBM-resident database (device buffers freed once
-    JAX drops the refs).  The predict phase calls this after align in
-    one-shot CLI runs: the measured Q_CHUNK=64 predict regression was HBM
-    co-residency with the ~2 GB resident DB (docs/PLATFORM.md), and after
-    align the DB has no further use in the run.  Serve-daemon jobs keep
-    it (the re-upload would cost more than it frees — predict_batch
-    decides).  Returns True when something was dropped."""
+    JAX drops the refs).  The predict phase calls this when it selects
+    the wide Q_CHUNK=64 launches (predict_batch._maybe_drop_resident —
+    the measured Q_CHUNK=64 predict regression was HBM co-residency with
+    the ~2 GB resident DB, docs/PLATFORM.md).  The policy is query-count
+    based, daemon or not: the next job's re-upload measured ~free at 20k
+    scale and the small-job path (Q_CHUNK=32) never drops.  Returns True
+    when something was dropped."""
     had = "db" in _RESIDENT_CACHE
     _RESIDENT_CACHE.clear()
     return had
@@ -355,21 +357,6 @@ def _length_rungs_vec(lens: np.ndarray, base: int) -> np.ndarray:
     p34 = (p // 4) * 3
     p = np.where((p >= 4) & (p34 >= k), p34, p)
     return (p * base).astype(np.int64)
-
-
-def _env_int(name: str, default) -> int:
-    """int(os.environ[name]) with an error that names the variable
-    (advisor r4: a malformed value raised a bare ValueError deep in
-    aligner init / mid-launch)."""
-    raw = os.environ.get(name)
-    if raw is None:
-        return int(default)
-    try:
-        return int(raw)
-    except ValueError:
-        raise ValueError(
-            f"environment variable {name}={raw!r} is not an integer"
-        ) from None
 
 
 def _round_up(x: int, m: int) -> int:

@@ -664,15 +664,23 @@ def run_pipeline(cfg: PipelineConfig) -> List[Chain]:
         _resume_check_manifest(cfg, log)
         # outputs are written via atomic tmp+os.replace (io/writers.py
         # atomic_output), so an existing .SIFTprediction is always a
-        # COMPLETE one; a crash leaves only *.tmp.<pid> strays, swept here
-        # so they cannot accumulate across resumes
+        # COMPLETE one; a crash leaves only *.tmp.<pid>.<seq> strays,
+        # swept here so they cannot accumulate across resumes.  Only
+        # strays older than a grace window are removed: a CONCURRENT
+        # sibling process sharing --out (query-sharded multi-host) may be
+        # mid-write, and its live temp files are seconds old while a
+        # crashed run's strays are as old as the crash
         import glob
+        import time as _time
 
+        grace_s = 300.0
+        now = _time.time()
         for stray in glob.glob(
             os.path.join(glob.escape(cfg.out_path), "*.tmp.*")
         ):
             try:
-                os.unlink(stray)
+                if now - os.path.getmtime(stray) > grace_s:
+                    os.unlink(stray)
             except OSError:
                 pass
         done = [
@@ -863,9 +871,9 @@ def finish_pipeline(
                 )
 
                 # at proteome query counts the finishers' GIL-held numpy
-                # share serializes the writer THREAD pool; a small fork
+                # share serializes the writer THREAD pool; a small spawn
                 # process pool scales them (predict_subst docstrings)
-                subst_exec = make_subst_executor(len(subst_paths), cfg.threads)
+                subst_exec = make_subst_executor(len(subst_paths))
                 finishers = [None] * len(device_qis)
                 for k, qi in enumerate(device_qis):
                     sp = subst_paths.get(qi)

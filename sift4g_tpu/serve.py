@@ -145,6 +145,12 @@ def _serve_one(conn, jobs: int, real_stderr) -> "tuple[int, bool]":
     t0 = time.perf_counter()
     log = _SocketLog(f, real_stderr)
     old_stderr, sys.stderr = sys.stderr, log
+    # per-job env isolation: flags like --cache-dir export env vars for
+    # the pipeline's benefit; a job's export must not leak into the NEXT
+    # job's behavior (identical argv must behave the same one-shot vs
+    # under the daemon)
+    _job_env = ("SIFT4G_TPU_CACHE_DIR",)
+    env_before = {k: os.environ.get(k) for k in _job_env}
     try:
         status = cli.main(argv)
     except SystemExit as exc:
@@ -154,6 +160,11 @@ def _serve_one(conn, jobs: int, real_stderr) -> "tuple[int, bool]":
         status = -1
     finally:
         sys.stderr = old_stderr
+        for k, v in env_before.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
         try:
             log.flush()
         except Exception:
@@ -223,7 +234,12 @@ def submit(socket_path: str, argv, shutdown: bool = False) -> int:
         f.write(json.dumps(req).encode() + b"\n")
         f.flush()
         for line in f:
-            msg = json.loads(line)
+            try:
+                msg = json.loads(line)
+            except ValueError:
+                # truncated/corrupt frame (daemon killed mid-write):
+                # treat as a severed stream, not a client traceback
+                break
             if "status" in msg:
                 reply = msg
                 break

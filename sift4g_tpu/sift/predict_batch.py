@@ -32,6 +32,7 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from ..core.chain import Chain
+from ..utils import env_int as _env_int
 from ..io.writers import create_file_name, write_matrix_original_format
 
 X_CODE = ord("X") - ord("A")
@@ -45,16 +46,6 @@ X_CODE = ord("X") - ord("A")
 # (20k warm predict 62.9 -> 49.5 s, total 428.8 -> 415.9 s); below it ->
 # 32 + keep (the drop's resident re-upload cost dominated at 2000q:
 # warm align 54.3 vs 34.0 s).  SIFT4G_TPU_PREDICT_QCHUNK forces a width.
-def _env_int(name: str, default: str) -> int:
-    raw = os.environ.get(name, default)
-    try:
-        return int(raw)
-    except ValueError:
-        raise ValueError(
-            f"environment variable {name}={raw!r} is not an integer"
-        ) from None
-
-
 Q_CHUNK = _env_int("SIFT4G_TPU_PREDICT_QCHUNK", "0")  # 0 = auto
 Q_BIG_THRESHOLD = 5000
 

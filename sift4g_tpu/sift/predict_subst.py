@@ -62,7 +62,13 @@ from ..constants import TOLERANCE_PROB_THRESHOLD
 # screen margin over the 0.05 threshold (see module docstring); the env
 # knob exists for the forced-fallback tests and for paranoid production
 # runs (raising it only adds exactly-computed positions)
-EPS_SCREEN = float(os.environ.get("SIFT4G_TPU_SUBST_EPS", "1e-3"))
+try:
+    EPS_SCREEN = float(os.environ.get("SIFT4G_TPU_SUBST_EPS", "1e-3"))
+except ValueError:
+    raise ValueError(
+        "environment variable SIFT4G_TPU_SUBST_EPS="
+        f"{os.environ.get('SIFT4G_TPU_SUBST_EPS')!r} is not a float"
+    ) from None
 
 
 def _seq_weights_fast(rows: np.ndarray, raw_matrix: np.ndarray):
@@ -128,8 +134,8 @@ def finish_subst_task(payload) -> None:
     finish_subst_query(query, rows, subst_lines, f32_scores, out_path)
 
 
-def make_subst_executor(n_subst: int, threads: int):
-    """A fork ProcessPoolExecutor for the finishers, or None to run them
+def make_subst_executor(n_subst: int):
+    """A spawn ProcessPoolExecutor for the finishers, or None to run them
     inline on the caller's thread pool.  SIFT4G_TPU_SUBST_PROCS forces a
     worker count (0 disables); default: engage from 256 subst queries
     with min(3, cores-1) workers (the parent keeps a core for packing

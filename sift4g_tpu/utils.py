@@ -8,10 +8,26 @@ keeping stderr as the sink (host0-only under multi-host).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from contextlib import contextmanager
 from typing import Dict, Optional
+
+
+def env_int(name: str, default) -> int:
+    """int(os.environ[name]) with an error that names the variable
+    (advisor r4: a malformed knob raised a bare ValueError deep inside
+    aligner init or mid-launch)."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return int(default)
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"environment variable {name}={raw!r} is not an integer"
+        ) from None
 
 
 def query_log(part: int, total: int, log=sys.stderr) -> None:
