@@ -213,3 +213,57 @@ def test_connect_cli_roundtrip(tmp_path):
         if proc.poll() is None:
             proc.send_signal(signal.SIGTERM)
             proc.wait(timeout=10)
+
+
+def test_daemon_jobs_do_not_leak_cache_dir(tmp_path):
+    """--cache-dir in job 1 must not change job 2's cache layout (the
+    flag exports SIFT4G_TPU_CACHE_DIR; serve restores per-job env)."""
+    sock = str(tmp_path / "d.sock")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("SIFT4G_TPU_CACHE_DIR", None)
+    # job 2 reads a COPY of the database in a writable dir so the default
+    # next-to-input layout is observable
+    import shutil
+
+    db2_dir = tmp_path / "db2"
+    db2_dir.mkdir()
+    for f in ("query.fasta", "sample_protein_database.fa"):
+        shutil.copy(os.path.join(TEST_FILES, f), db2_dir / f)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "sift4g_tpu", "--serve", sock,
+         "--platform", "cpu"],
+        stderr=subprocess.PIPE, env=env,
+    )
+    try:
+        _wait_socket(sock, proc)
+        out1 = tmp_path / "o1"
+        out2 = tmp_path / "o2"
+        cache1 = tmp_path / "cache1"
+        out1.mkdir()
+        out2.mkdir()
+        r1 = _submit(sock, {"argv": [
+            "-q", os.path.join(TEST_FILES, "query.fasta"),
+            "-d", os.path.join(TEST_FILES, "sample_protein_database.fa"),
+            "--backend", "numpy", "--out", str(out1),
+            "--cache-dir", str(cache1),
+        ]})
+        assert r1["status"] == 0, r1.get("log")
+        assert [f for f in os.listdir(cache1) if f.endswith(".s4gc")]
+        r2 = _submit(sock, {"argv": [
+            "-q", str(db2_dir / "query.fasta"),
+            "-d", str(db2_dir / "sample_protein_database.fa"),
+            "--backend", "numpy", "--out", str(out2),
+        ]})
+        assert r2["status"] == 0, r2.get("log")
+        # job 2's caches landed next to ITS inputs, not in job 1's dir
+        assert (db2_dir / "sample_protein_database.fa.s4gc").exists()
+        assert not [
+            f for f in os.listdir(cache1) if "sample" in f and "db2" in f
+        ]
+        assert _submit(sock, {"shutdown": True})["status"] == 0
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGTERM)
+            proc.wait(timeout=10)
