@@ -805,9 +805,17 @@ def finish_pipeline(
     subst_paths = {}
     if cfg.predict_backend == "device":
         from .io.subst import subst_file_name
+        from .sift.predict_batch import MAX_DEVICE_QUERY_LEN
 
         for qi in range(len(queries)):
             if not all_rows[qi].shape[0]:
+                continue
+            # extreme query lengths stay on the host oracle: the device
+            # path's (Qc, n_pad, L_pad, 26) one-hot intermediate scales
+            # linearly in L (a 35k-aa Titin-class query would demand tens
+            # of GB of HBM) — same long-tail routing philosophy as the
+            # align phase's XLA-scan fallback
+            if len(queries[qi]) > MAX_DEVICE_QUERY_LEN:
                 continue
             device_qis.append(qi)
             sp = subst_file_name(queries[qi].name, cfg.subst_path)

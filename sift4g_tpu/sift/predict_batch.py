@@ -49,6 +49,14 @@ X_CODE = ord("X") - ord("A")
 Q_CHUNK = _env_int("SIFT4G_TPU_PREDICT_QCHUNK", "0")  # 0 = auto
 Q_BIG_THRESHOLD = 5000
 
+# longest query the device path accepts (the pipeline routes longer ones
+# to the host oracle): the (Qc, n_pad, L_pad, 26) f32 one-hot
+# intermediate at Qc=32, n_pad=448 costs ~1.5 GB PER 1024 aa of L_pad —
+# Titin-class queries would demand tens of GB of HBM.  4096 keeps the
+# worst bucket ~6 GB (fits beside a dropped/absent resident DB) and
+# covers >99.9% of real proteins (UniProt median ~350 aa).
+MAX_DEVICE_QUERY_LEN = _env_int("SIFT4G_TPU_PREDICT_MAX_QLEN", "4096")
+
 # device launches kept in flight (VERDICT r4 weak #3): with ONE launch in
 # flight the ~30 ms dispatch + relay put + host fill serialize with device
 # compute every chunk (~110 ms x 625 launches at 20k queries).  Two-deep

@@ -152,3 +152,54 @@ def test_predict_batch_depth_invariance(tmp_path, monkeypatch):
     assert len(names) == 5 and names == sorted(os.listdir(outs[3]))
     for name in names:
         assert filecmp.cmp(outs[1] / name, outs[3] / name, shallow=False)
+
+
+def test_long_queries_route_to_host_oracle(tmp_path, monkeypatch):
+    """Queries beyond MAX_DEVICE_QUERY_LEN stay on the float64 host path
+    under --predict-backend device (the device one-hot intermediate
+    scales linearly in L); outputs are the oracle's bytes."""
+    import filecmp
+    import os
+
+    from sift4g_tpu.pipeline import PipelineConfig, run_pipeline
+    from sift4g_tpu.sift import predict_batch
+
+    monkeypatch.setattr(predict_batch, "MAX_DEVICE_QUERY_LEN", 100)
+    rng = np.random.default_rng(9)
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    # one short (device) + one "long" (host-routed under the tiny cap)
+    qs = {
+        "SHORT": "".join(rng.choice(list(aas), 60)),
+        "LONG": "".join(rng.choice(list(aas), 240)),
+    }
+    with open(tmp_path / "q.fa", "w") as fh:
+        for n, s in qs.items():
+            fh.write(f">{n}\n{s}\n")
+    with open(tmp_path / "db.fa", "w") as fh:
+        for i in range(40):
+            fh.write(f">t{i}\n{''.join(rng.choice(list(aas), 150))}\n")
+        for n, s in qs.items():  # exact homologs pass the E-value filter
+            fh.write(f">h_{n}\n{s}\n")
+
+    outs = {}
+    for be in ("host", "device"):
+        out = tmp_path / be
+        out.mkdir()
+        cfg = PipelineConfig(
+            query_path=str(tmp_path / "q.fa"),
+            database_path=str(tmp_path / "db.fa"),
+            out_path=str(out),
+            align_backend="numpy",
+            predict_backend=be,
+            log=open(os.devnull, "w"),
+        )
+        run_pipeline(cfg)
+        outs[be] = out
+    # the long query's file is byte-identical (host path both times);
+    # both queries produced output either way
+    assert (outs["device"] / "SHORT.SIFTprediction").exists()
+    assert filecmp.cmp(
+        outs["host"] / "LONG.SIFTprediction",
+        outs["device"] / "LONG.SIFTprediction",
+        shallow=False,
+    )
