@@ -174,3 +174,57 @@ def test_subst_process_pool_byte_identical(tmp_path, monkeypatch):
                          f"{name}.SIFTprediction"),
             shallow=False,
         ), name
+
+
+def test_hybrid_edge_cases_byte_identical(tmp_path):
+    """Adversarial subst shapes: positions 1 and L, every substitution at
+    one position, invalid letters (X/B/Z) in the QUERY itself, duplicate
+    lines — all byte-identical to the oracle."""
+    rng = np.random.default_rng(101)
+    L, n = 40, 12
+    q = list(rng.choice(STD20, L).astype(np.uint8))
+    q[4] = ord("X") - ord("A")   # invalid letter inside the query
+    q[5] = ord("B") - ord("A")
+    q[6] = ord("Z") - ord("A")
+    q_codes = np.asarray(q, dtype=np.uint8)
+    rows = np.tile(q_codes, (n, 1))
+    mut = rng.random(rows.shape) < 0.25
+    rows[mut] = rng.choice(STD20, int(mut.sum()))
+    rows[0] = q_codes
+    query = Chain.from_string("Q", "".join(chr(c + ord("A")) for c in q_codes))
+
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    lines = [f"{query.char(0)}1{a}" for a in aas]          # all 20 at pos 1
+    lines += [f"{query.char(L - 1)}{L}M"] * 3              # duplicates at L
+    lines += [f"{query.char(4)}5K", f"{query.char(5)}6K", f"{query.char(6)}7K"]
+
+    want = tmp_path / "want.out"
+    got = tmp_path / "got.out"
+    predict_prepared(query, rows, lines, str(want))
+    finish_subst_query(
+        query, rows, lines, _f32_screen(rows), str(got), log=io.StringIO()
+    )
+    assert filecmp.cmp(want, got, shallow=False), (
+        f"want:\n{want.read_text()}\ngot:\n{got.read_text()}"
+    )
+
+
+def test_hybrid_single_row_and_tiny_query(tmp_path):
+    """Degenerate shapes: the query alone (no surviving alignments rows
+    beyond row 0) and an L=1 query."""
+    for L, n in ((1, 1), (3, 1), (1, 4)):
+        rng = np.random.default_rng(L * 10 + n)
+        q_codes = rng.choice(STD20, L).astype(np.uint8)
+        rows = np.tile(q_codes, (n, 1))
+        query = Chain.from_string(
+            "Q", "".join(chr(c + ord("A")) for c in q_codes)
+        )
+        lines = [f"{query.char(0)}1A"]
+        want = tmp_path / f"want_{L}_{n}.out"
+        got = tmp_path / f"got_{L}_{n}.out"
+        predict_prepared(query, rows, lines, str(want))
+        finish_subst_query(
+            query, rows, lines, _f32_screen(rows), str(got),
+            log=io.StringIO(),
+        )
+        assert filecmp.cmp(want, got, shallow=False), (L, n)
