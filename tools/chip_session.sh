@@ -1,5 +1,22 @@
 #!/bin/bash
-# Queued chip work.  Round-4 sessions (2026-08-20) COMPLETED:
+# Queued chip work.
+#
+# ROUND-5 sessions (2026-08-20) superseded several round-4 conclusions
+# below — current state (docs/PLATFORM.md "Round 5", docs/KNOBS.md):
+#   * bench 49.9 GCUPS (quad-packed plane prologue; marginal 99.5-104%
+#     of same-session roofline);
+#   * 20k x 2M warm records: matrix 415.9 s, SUBST 430.0 s (1.03x;
+#     byte-identical to the float64 oracle);
+#   * Q_CHUNK=64 + resident-drop is now the AUTO policy at >= 5000
+#     device queries (predict 62.9 -> 49.5 s at 20k) — the round-4
+#     "reverted Q_CHUNK=64" note below predates the drop enabler;
+#   * subst finishers run on a spawn process pool from 256 queries;
+#   * 5M ladder point NOT refreshed (relay dispatch degradation all
+#     afternoon; r4's 70.2 s stands);
+#   * A/B protocol at 20k scale: per-arm --json files +
+#     `tools/bench_pipeline.py --aggregate` (per-mode best-of-phases).
+#
+# Round-4 sessions (2026-08-20) COMPLETED:
 #   * reworked bench validated twice (47.9-48.3 GCUPS, 85.8-86.4% of
 #     in-run roofline, marginal 104%);
 #   * 2000q x 2M warm headline 47.8 s; 2000q x 5M 70.2 s warm;
