@@ -174,3 +174,56 @@ def test_overlap_compaction_is_exact(tmp_path, monkeypatch):
         assert filecmp.cmp(
             outs["off"] / name, outs["on"] / name, shallow=False
         ), f"{name} differs with forced compaction"
+
+
+def test_overlap_with_device_subst_hybrid_matches_oracle(tmp_path):
+    """The overlapped pipeline composed with --predict-backend device and
+    subst-mode queries (the full round-5 production stack on CPU):
+    byte-identical to the two-phase host-oracle run."""
+    rng = np.random.default_rng(23)
+    aas = np.frombuffer(b"ARNDCQEGHILKMFPSTWYV", dtype=np.uint8)
+    db = tmp_path / "db.fa"
+    qs = [
+        rng.choice(aas, size=int(rng.integers(80, 200))).tobytes()
+        for _ in range(3)
+    ]
+    with open(db, "wb") as fh:
+        for i in range(1200):
+            seq = rng.choice(aas, size=int(rng.integers(50, 400))).tobytes()
+            fh.write(b">s%d\n%s\n" % (i, seq))
+        for i, s in enumerate(qs):  # homologs pass the E-value filter
+            fh.write(b">h%d\n%s\n" % (i, s))
+    q = tmp_path / "q.fa"
+    with open(q, "wb") as fh:
+        for i, s in enumerate(qs):
+            fh.write(b">q%d\n%s\n" % (i, s))
+    subst = tmp_path / "subst"
+    subst.mkdir()
+    for i, s in enumerate(qs):
+        with open(subst / f"q{i}.subst", "w") as fh:
+            for p in sorted(rng.choice(len(s), 4, replace=False).tolist()):
+                fh.write(f"{chr(s[p])}{p + 1}{chr(int(rng.choice(aas)))}\n")
+
+    outs = {}
+    for tag, (ov, pb) in {
+        "oracle": ("off", "host"), "stack": ("on", "device"),
+    }.items():
+        out = tmp_path / tag
+        out.mkdir()
+        cfg = PipelineConfig(
+            query_path=str(q), database_path=str(db), out_path=str(out),
+            align_backend="numpy", subst_path=str(subst),
+            max_candidates=40, search_chunk_bytes=40_000,
+            overlap=ov, predict_backend=pb,
+            log=open(os.devnull, "w"),
+        )
+        run_pipeline(cfg)
+        outs[tag] = out
+    names = sorted(
+        f for f in os.listdir(outs["oracle"]) if f.endswith(".SIFTprediction")
+    )
+    assert len(names) == 3
+    for name in names:
+        assert filecmp.cmp(
+            outs["oracle"] / name, outs["stack"] / name, shallow=False
+        ), name
